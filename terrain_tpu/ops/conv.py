@@ -1,0 +1,93 @@
+"""Convolution ops, NHWC, TPU-first.
+
+XLA's conv_general_dilated is the primary path (it tiles onto the MXU and
+fuses surrounding elementwise ops); Pallas kernels plug in behind the same
+signatures for the fused decoder blocks (see terrain_tpu.ops.pallas).
+
+Semantics mirror the reference's Lasagne layers (cited per function) but the
+layout is NHWC/HWIO and padding is always *explicit symmetric* (k-1)//2 —
+Lasagne's pad='same' pads symmetrically even for strided convs
+(reference architectures/p2p.py:20-21), which differs from XLA's 'SAME'
+(asymmetric low/high split for even inputs), so we never use the string form.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _to_pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv2d(x, w, b=None, *, stride=1, padding="same", compute_dtype=None):
+    """2D convolution (cross-correlation), NHWC x HWIO -> NHWC.
+
+    padding: 'same' (symmetric (k-1)//2, Lasagne pad='same'), 'valid', or an
+    explicit ((ph_lo, ph_hi), (pw_lo, pw_hi)).
+
+    Mirrors lasagne.layers.Conv2DLayer as used at reference
+    architectures/dcgan.py:22 and architectures/p2p.py:20-21 (linear
+    nonlinearity is applied by callers).
+    """
+    kh, kw = w.shape[0], w.shape[1]
+    s = _to_pair(stride)
+    if padding == "same":
+        pad = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
+    elif padding == "valid":
+        pad = ((0, 0), (0, 0))
+    else:
+        pad = padding
+    cd = compute_dtype or x.dtype
+    out = lax.conv_general_dilated(
+        x.astype(cd),
+        w.astype(cd),
+        window_strides=s,
+        padding=pad,
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(cd)
+
+
+def conv2d_transpose(x, w, b=None, *, stride=2, compute_dtype=None):
+    """Transposed (fractionally strided) convolution, VALID, crop=0.
+
+    Output spatial size = (in - 1) * stride + k, matching
+    lasagne.layers.Deconv2DLayer(filter_size=k, stride=s, crop=0) as wrapped
+    by the reference's `Deconvolution` helper (architectures/p2p.py:23-24):
+    k=2,s=2 doubles resolution; k=2,s=1 grows the 1x1 bottleneck to 2x2.
+
+    w has HWIO layout where I = input channels of x, O = output channels.
+    """
+    s = _to_pair(stride)
+    cd = compute_dtype or x.dtype
+    out = lax.conv_transpose(
+        x.astype(cd),
+        w.astype(cd),
+        strides=s,
+        padding="VALID",
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(cd)
+
+
+def dense(x, w, b=None, *, compute_dtype=None):
+    """Fully connected layer: (N, din) @ (din, dout).
+
+    Mirrors lasagne.layers.DenseLayer (reference architectures/dcgan.py:16).
+    """
+    cd = compute_dtype or x.dtype
+    out = jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(cd)
