@@ -1,0 +1,174 @@
+"""The simultaneous four-network GAN step, built once and jit-compiled.
+
+The single most important behavioral fact of the reference (pix2pix.py:131-147):
+one train_fn call updates DCGAN G, DCGAN D, p2p G and p2p D *simultaneously*,
+with all losses computed from one shared forward — not alternating G/D steps.
+
+TPU-first realization: the four per-loss gradients are obtained from ONE
+jax.grad over a stop-gradient-partitioned total
+
+    L = L_gen_dcgan(Gd, sg(Dd)) + L_disc_dcgan(sg(Gd(z)), Dd)
+      + L_gen_p2p(Gp, sg(Dp)) + alpha*L_recon(Gp) + L_disc_p2p(sg(Gp(X)), Dp)
+
+stop_gradient is the identity in the primal, so XLA CSEs the duplicated
+discriminator forwards and the compiled step computes each network's forward
+exactly once — while the cotangents are partitioned exactly like the
+reference's four independent `opt(loss_i, params_i)` update dicts.
+
+`train_mode` in {'both','dcgan','p2p'} selects which networks are
+differentiated and updated; all five losses are always computed and returned
+(the reference's train_fn returns them all with on_unused_input='warn',
+pix2pix.py:142).
+
+BatchNorm running statistics follow Lasagne's default-update semantics: a
+generator's stats come from its (single) train-mode forward; a
+discriminator's stats come from its *fake-batch* pass, which is the last
+get_output call in the reference graph and therefore the default_update that
+wins (pix2pix.py:92-101).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from terrain_tpu.train.losses import TRAIN_KEYS, adv_loss, reconstruction_loss
+
+NET_NAMES = ("dcgan_gen", "dcgan_disc", "p2p_gen", "p2p_disc")
+
+ACTIVE = {
+    "both": NET_NAMES,
+    "dcgan": ("dcgan_gen", "dcgan_disc"),
+    "p2p": ("p2p_gen", "p2p_disc"),
+}
+
+_sg = jax.lax.stop_gradient
+
+
+def forward_losses(nets, params, states, Z, X, Y, rng, *, alpha, lsgan,
+                   reconstruction, train):
+    """Shared forward for all four networks; returns (losses, new_states).
+
+    losses is a dict over TRAIN_KEYS; new_states mirrors `states`.
+    Gradient partitioning (the sg() calls) reproduces the reference's four
+    independent optimizer update dicts (pix2pix.py:131-141).
+    """
+    r = {n: jax.random.fold_in(rng, i) for i, n in enumerate(NET_NAMES)}
+    adv = partial(adv_loss, lsgan=lsgan)
+
+    # --- stage 1: DCGAN (z -> A) ---------------------------------------
+    a_fake, ns_gd = nets["dcgan_gen"].apply(
+        params["dcgan_gen"], states["dcgan_gen"], Z, train=train, rng=r["dcgan_gen"])
+    # generator loss: grads flow through D's *activations* but not D's params
+    d_fake_gpath, _ = nets["dcgan_disc"].apply(
+        _sg(params["dcgan_disc"]), states["dcgan_disc"], a_fake,
+        train=train, rng=r["dcgan_disc"])
+    # discriminator loss: fake batch is a constant
+    d_real, _ = nets["dcgan_disc"].apply(
+        params["dcgan_disc"], states["dcgan_disc"], X, train=train, rng=r["dcgan_disc"])
+    d_fake_dpath, ns_dd = nets["dcgan_disc"].apply(
+        params["dcgan_disc"], states["dcgan_disc"], _sg(a_fake),
+        train=train, rng=r["dcgan_disc"])
+    gen_loss_dcgan = adv(d_fake_gpath, 1.0)
+    disc_loss_dcgan = adv(d_real, 1.0) + adv(d_fake_dpath, 0.0)
+
+    # --- stage 2: pix2pix (A -> B) --------------------------------------
+    b_fake, ns_gp = nets["p2p_gen"].apply(
+        params["p2p_gen"], states["p2p_gen"], X, train=train, rng=r["p2p_gen"])
+    p_fake_gpath, _ = nets["p2p_disc"].apply(
+        _sg(params["p2p_disc"]), states["p2p_disc"], X, b_fake,
+        train=train, rng=r["p2p_disc"])
+    p_real, _ = nets["p2p_disc"].apply(
+        params["p2p_disc"], states["p2p_disc"], X, Y, train=train, rng=r["p2p_disc"])
+    p_fake_dpath, ns_dp = nets["p2p_disc"].apply(
+        params["p2p_disc"], states["p2p_disc"], X, _sg(b_fake),
+        train=train, rng=r["p2p_disc"])
+    gen_loss_p2p = adv(p_fake_gpath, 1.0)
+    recon = reconstruction_loss(b_fake, Y, kind=reconstruction)
+    disc_loss_p2p = adv(p_real, 1.0) + adv(p_fake_dpath, 0.0)
+
+    losses = {
+        "dcgan_gen": gen_loss_dcgan,
+        "dcgan_disc": disc_loss_dcgan,
+        "p2p_gen": gen_loss_p2p,
+        "p2p_recon": recon,
+        "p2p_disc": disc_loss_p2p,
+    }
+    new_states = {
+        "dcgan_gen": ns_gd,
+        "dcgan_disc": ns_dd,
+        "p2p_gen": ns_gp,
+        "p2p_disc": ns_dp,
+    }
+    return losses, new_states
+
+
+def _total(losses, active, alpha):
+    total = jnp.float32(0)
+    if "dcgan_gen" in active:
+        total = total + losses["dcgan_gen"]
+    if "dcgan_disc" in active:
+        total = total + losses["dcgan_disc"]
+    if "p2p_gen" in active:
+        total = total + losses["p2p_gen"] + alpha * losses["p2p_recon"]
+    if "p2p_disc" in active:
+        total = total + losses["p2p_disc"]
+    return total
+
+
+def build_train_step(nets, optimizer, *, alpha=100.0, lsgan=False,
+                     reconstruction="l1", train_mode="both", prepare=None):
+    """Returns train_step(params, states, opt_states, batch, rng, lr).
+
+    `batch` is whatever `prepare(batch, rng)` maps to an (Z, X, Y) tuple on
+    device — identity by default; the device-cache pipeline passes indices
+    and gathers/normalizes/augments in-graph so the whole step is one XLA
+    program.
+
+    Returned pytrees reuse the input structure so the caller can donate
+    buffers.  Losses come back as a dict over TRAIN_KEYS.
+    """
+    active = ACTIVE[train_mode]
+
+    def loss_fn(diff_params, all_params, states, Z, X, Y, rng):
+        merged = {**all_params, **diff_params}
+        losses, new_states = forward_losses(
+            nets, merged, states, Z, X, Y, rng,
+            alpha=alpha, lsgan=lsgan, reconstruction=reconstruction, train=True)
+        return _total(losses, active, alpha), (losses, new_states)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def train_step(params, states, opt_states, batch, rng, lr):
+        Z, X, Y = prepare(batch, rng) if prepare is not None else batch
+        diff_params = {n: params[n] for n in active}
+        grads, (losses, new_states) = grad_fn(
+            diff_params, params, states, Z, X, Y, rng)
+        new_params = dict(params)
+        new_opt_states = dict(opt_states)
+        for n in active:
+            new_params[n], new_opt_states[n] = optimizer.update(
+                grads[n], opt_states[n], params[n], lr)
+        return new_params, new_states, new_opt_states, losses
+
+    return train_step
+
+
+def build_eval_step(nets, *, alpha=100.0, lsgan=False, reconstruction="l1",
+                    prepare=None):
+    """Returns eval_step(params, states, batch, rng) -> losses.
+
+    Matches the reference's loss_fn (pix2pix.py:143): *train-mode* forwards
+    (batch-stat BN, live dropout), no parameter updates.  Unlike Lasagne's
+    default-update quirk, it does not touch BN running stats (documented
+    deviation; see SURVEY.md §2 quirks).
+    """
+
+    def eval_step(params, states, batch, rng):
+        Z, X, Y = prepare(batch, rng) if prepare is not None else batch
+        losses, _ = forward_losses(
+            nets, params, states, Z, X, Y, rng,
+            alpha=alpha, lsgan=lsgan, reconstruction=reconstruction, train=True)
+        return losses
+
+    return eval_step
