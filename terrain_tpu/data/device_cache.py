@@ -1,0 +1,57 @@
+"""Device-resident dataset: the TPU-native input path.
+
+The shipped training set is tiny by HBM standards (240 crops x 512^2 x
+(1+3) B = 250 MB, SURVEY.md §2), so the whole uint8 dataset lives in HBM and
+each train step gathers, normalizes and augments its batch *in-graph*.  The
+host ships only: one int32 index vector + the latent batch (or just an RNG
+key).  This removes the reference's per-step host h5-read + upload entirely
+(its main input bottleneck, SURVEY.md §6) and lets XLA fuse
+gather -> cast -> normalize -> augment -> conv into one program.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from terrain_tpu.data.augment import augment_pair
+
+
+class DeviceDataset:
+    """Holds paired uint8 arrays on device; builds `prepare` fns for the
+    train step (see terrain_tpu.train.step.build_train_step)."""
+
+    def __init__(self, x, y, is_a_grayscale=True, is_b_grayscale=False,
+                 sharding=None):
+        x = np.asarray(x, dtype=np.uint8)
+        y = np.asarray(y, dtype=np.uint8)
+        assert x.shape[0] == y.shape[0]
+        self.N = x.shape[0]
+        self.is_a_grayscale = is_a_grayscale
+        self.is_b_grayscale = is_b_grayscale
+        # replicate the (small) dataset across the mesh if one is given
+        if sharding is not None:
+            self.x = jax.device_put(x, sharding)
+            self.y = jax.device_put(y, sharding)
+        else:
+            self.x = jax.device_put(x)
+            self.y = jax.device_put(y)
+
+    def gather_normalize(self, idx):
+        """In-graph: (bs,) int32 -> (X, Y) float32 NHWC, normalized."""
+        xs = jnp.take(self.x, idx, axis=0).astype(jnp.float32)
+        ys = jnp.take(self.y, idx, axis=0).astype(jnp.float32)
+        xs = xs / 255.0 if self.is_a_grayscale else (xs - 127.5) / 127.5
+        ys = ys / 255.0 if self.is_b_grayscale else (ys - 127.5) / 127.5
+        return xs, ys
+
+    def make_prepare(self, augment=True):
+        """Returns prepare((Z, idx), rng) -> (Z, X, Y) for the train step."""
+
+        def prepare(batch, rng):
+            Z, idx = batch
+            X, Y = self.gather_normalize(idx)
+            if augment:
+                X, Y = augment_pair(jax.random.fold_in(rng, 0x5eed), X, Y)
+            return Z, X, Y
+
+        return prepare

@@ -1,0 +1,156 @@
+"""Data pipeline tests: iterator parity semantics, normalization golden
+values, device cache equivalence, paired on-device augmentation."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from terrain_tpu.data import (
+    DeviceDataset,
+    Hdf5Iterator,
+    Prefetcher,
+    augment_pair,
+    epoch_index_schedule,
+    get_slices,
+    normalize_pair,
+)
+from terrain_tpu.data.synthetic import make_pairs, write_h5
+
+
+def test_get_slices_matches_reference_semantics():
+    # util.py:10-18: contiguous slices including the ragged tail
+    s = get_slices(10, 4)
+    assert s == [slice(0, 4), slice(4, 8), slice(8, 12)]
+    assert get_slices(8, 4) == [slice(0, 4), slice(4, 8)]
+
+
+def test_normalization_golden():
+    x = np.array([[[[0], [255]]]], dtype=np.uint8)
+    y = np.array([[[[0, 127.5, 255]] * 2]], dtype=np.float32)
+    xn, yn = normalize_pair(x, y, True, False)
+    np.testing.assert_allclose(xn, [[[[0.0], [1.0]]]])
+    np.testing.assert_allclose(yn, [[[[-1.0, 0.0, 1.0]] * 2]])
+
+
+def test_iterator_yields_paired_normalized_batches():
+    x, y = make_pairs(10, 16, seed=0)
+    it = Hdf5Iterator(x, y, bs=4, is_a_grayscale=True, is_b_grayscale=False)
+    assert it.N == 10
+    seen = []
+    for _ in range(6):
+        xb, yb = next(it)
+        assert xb.shape[1:] == (16, 16, 1) and yb.shape[1:] == (16, 16, 3)
+        assert xb.dtype == np.float32
+        assert 0.0 <= xb.min() and xb.max() <= 1.0
+        assert -1.0 <= yb.min() and yb.max() <= 1.0
+        seen.append(xb.shape[0])
+    # slices include the ragged tail batch of 2 (10 = 4+4+2)
+    assert sorted(set(seen)) in ([2, 4],) or set(seen) == {2, 4}
+
+
+def test_iterator_shuffle_is_deterministic():
+    x, y = make_pairs(12, 8, seed=0)
+    a = Hdf5Iterator(x, y, bs=4, seed=0)
+    b = Hdf5Iterator(x, y, bs=4, seed=0)
+    for _ in range(5):
+        xa, _ = next(a)
+        xb, _ = next(b)
+        np.testing.assert_array_equal(xa, xb)
+
+
+def test_h5_roundtrip(tmp_path):
+    path = write_h5(str(tmp_path / "synth.h5"), n_train=6, n_valid=2, size=16)
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        it = Hdf5Iterator(f["xt"], f["yt"], bs=2, cache=True)
+        xb, yb = next(it)
+        assert xb.shape == (2, 16, 16, 1)
+        assert yb.shape == (2, 16, 16, 3)
+
+
+def test_epoch_index_schedule_covers_full_batches():
+    rnd = np.random.RandomState(0)
+    sched = epoch_index_schedule(10, 4, rnd)
+    # only full batches (N // bs steps, reference pix2pix.py:203)
+    assert len(sched) == 2
+    allidx = np.concatenate(sched)
+    assert len(set(allidx.tolist())) == 8
+
+
+def test_device_cache_matches_host_path():
+    x, y = make_pairs(8, 16, seed=1)
+    ds = DeviceDataset(x, y, True, False)
+    idx = jnp.array([3, 0, 5], dtype=jnp.int32)
+    Xd, Yd = jax.jit(ds.gather_normalize)(idx)
+    Xh, Yh = normalize_pair(x[[3, 0, 5]], y[[3, 0, 5]], True, False)
+    np.testing.assert_allclose(np.asarray(Xd), Xh, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(Yd), Yh, rtol=1e-6)
+
+
+def test_device_cache_prepare_shapes():
+    x, y = make_pairs(8, 16, seed=1)
+    ds = DeviceDataset(x, y, True, False)
+    prep = ds.make_prepare(augment=True)
+    Z = jnp.zeros((3, 8))
+    idx = jnp.array([0, 1, 2], dtype=jnp.int32)
+    Z2, X, Y = jax.jit(prep)((Z, idx), jax.random.PRNGKey(0))
+    assert Z2.shape == (3, 8) and X.shape == (3, 16, 16, 1) and Y.shape == (3, 16, 16, 3)
+    assert float(X.min()) >= 0.0 and float(X.max()) <= 1.0
+
+
+def test_augment_pairs_identically():
+    # encode coordinates so we can verify X and Y get the same transform
+    h = w = 16
+    base = np.zeros((2, h, w, 1), np.float32)
+    base[:, : h // 2] = 1.0  # top half bright
+    X = jnp.asarray(base)
+    Y = jnp.asarray(np.concatenate([base] * 3, axis=-1))
+    Xa, Ya = augment_pair(jax.random.PRNGKey(3), X, Y)
+    np.testing.assert_allclose(np.asarray(Xa)[..., 0], np.asarray(Ya)[..., 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ya)[..., 0], np.asarray(Ya)[..., 2], atol=1e-6)
+
+
+def test_augment_preserves_range_and_shape(rng):
+    X = jnp.asarray(rng.rand(3, 16, 16, 1).astype(np.float32))
+    Y = jnp.asarray((rng.rand(3, 16, 16, 3) * 2 - 1).astype(np.float32))
+    Xa, Ya = jax.jit(augment_pair)(jax.random.PRNGKey(0), X, Y)
+    assert Xa.shape == X.shape and Ya.shape == Y.shape
+    # bilinear + reflect = convex combinations of input pixels
+    assert float(Xa.min()) >= float(X.min()) - 1e-5
+    assert float(Xa.max()) <= float(X.max()) + 1e-5
+
+
+def test_augment_no_rotation_no_flip_is_identity(rng):
+    X = jnp.asarray(rng.rand(2, 8, 8, 1).astype(np.float32))
+    Y = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    Xa, Ya = augment_pair(jax.random.PRNGKey(0), X, Y, rotation=False, flips=False)
+    np.testing.assert_allclose(np.asarray(Xa), np.asarray(X), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Ya), np.asarray(Y), atol=1e-6)
+
+
+def test_augment_rotation_90deg_equivalence():
+    # a fixed 90-degree rotation must equal np.rot90 up to the sampling
+    # convention; test via the single-image kernel with theta = pi/2
+    from terrain_tpu.data.augment import _rotate_flip_one
+
+    img = jnp.asarray(np.arange(64, dtype=np.float32).reshape(8, 8, 1))
+    out = _rotate_flip_one(img, jnp.float32(np.pi / 2), False, False)
+    want = np.rot90(np.asarray(img), k=1, axes=(0, 1))  # one of the two directions
+    want2 = np.rot90(np.asarray(img), k=-1, axes=(0, 1))
+    ok1 = np.allclose(np.asarray(out), want, atol=1e-4)
+    ok2 = np.allclose(np.asarray(out), want2, atol=1e-4)
+    assert ok1 or ok2
+
+
+def test_prefetcher_yields_device_batches():
+    x, y = make_pairs(8, 8, seed=0)
+    it = Hdf5Iterator(x, y, bs=4)
+    pf = Prefetcher(iter(it), size=2)
+    xb, yb = next(pf)
+    assert isinstance(xb, jax.Array)
+    assert xb.shape == (4, 8, 8, 1)
+    pf.close()
