@@ -1,0 +1,27 @@
+"""CLI: `python -m terrain_tpu <experiment> <mode>` with mode in
+{train, interp, gen} — the reference's 2-arg interface
+(experiments.py:131: locals()[argv[1]](argv[2]))."""
+
+import sys
+
+from terrain_tpu.experiments import EXPERIMENTS
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 2 or argv[0] not in EXPERIMENTS:
+        names = "\n  ".join(sorted(EXPERIMENTS))
+        print(f"usage: python -m terrain_tpu <experiment> <train|interp|gen>\n"
+              f"experiments:\n  {names}", file=sys.stderr)
+        return 2
+    name, mode = argv
+    if mode not in ("train", "interp", "gen"):
+        print(f"unknown mode {mode!r}: must be train, interp or gen",
+              file=sys.stderr)
+        return 2
+    EXPERIMENTS[name](mode)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

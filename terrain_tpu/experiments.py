@@ -1,0 +1,268 @@
+"""Named experiments + registry (reference experiments.py:10-131).
+
+The reference dispatches `python experiments.py <name> <mode>` via
+locals()[argv[1]](argv[2]) with mode in {train, interp, gen}; we keep the
+same names, modes and hyperparameters through an explicit registry (the CLI
+lives in terrain_tpu/cli.py).
+
+Runtime knobs come from the environment instead of editing source:
+  TERRAIN_DATA       path to the paired h5 (default data/textures_v2_brown500.h5)
+  TERRAIN_SYNTHETIC  "1" -> use in-memory synthetic terrain pairs
+  TERRAIN_N          synthetic train-set size (default 240, like brown500)
+  TERRAIN_EPOCHS     override num_epochs (default 1000, pix2pix.py usage)
+  TERRAIN_BS         batch size (default 4, experiments.py:43)
+  TERRAIN_QUICK      "1" -> quick_run (1 minibatch per loop, pix2pix.py:198)
+  TERRAIN_FAST       "1" -> device-resident dataset (HBM cache) input path
+  TERRAIN_DTYPE      "bf16" -> bfloat16 compute (fp32 params/accum)
+  TERRAIN_OUT/TERRAIN_MODELS  artifact roots (default output/, models/)
+"""
+
+import glob
+import os
+
+import numpy as np
+
+from terrain_tpu.data import DeviceDataset, Hdf5Iterator
+from terrain_tpu.models import dcgan, p2p
+from terrain_tpu.train.trainer import TwoStageGAN
+
+EXPERIMENTS = {}
+
+
+def experiment(fn):
+    EXPERIMENTS[fn.__name__] = fn
+    return fn
+
+
+def _env(name, default=None):
+    return os.environ.get(name, default)
+
+
+def _compute_dtype():
+    if _env("TERRAIN_DTYPE", "").lower() in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return None
+
+
+def get_iterators(dataset, batch_size, is_a_grayscale, is_b_grayscale, da=True):
+    """Host-iterator pair over an h5 file (reference experiments.py:10-18).
+    Augmentation (`da`) is applied on device by the trainer, not here."""
+    import h5py
+
+    f = h5py.File(dataset, "r")
+    it_train = Hdf5Iterator(f["xt"], f["yt"], batch_size,
+                            is_a_grayscale=is_a_grayscale,
+                            is_b_grayscale=is_b_grayscale)
+    it_val = Hdf5Iterator(f["xv"], f["yv"], batch_size,
+                          is_a_grayscale=is_a_grayscale,
+                          is_b_grayscale=is_b_grayscale)
+    return it_train, it_val
+
+
+def get_device_datasets(dataset, is_a_grayscale, is_b_grayscale):
+    """Device-resident dataset pair (TPU-native input path)."""
+    import h5py
+
+    with h5py.File(dataset, "r") as f:
+        tr = DeviceDataset(f["xt"][:], f["yt"][:], is_a_grayscale, is_b_grayscale)
+        va = DeviceDataset(f["xv"][:], f["yv"][:], is_a_grayscale, is_b_grayscale)
+    return tr, va
+
+
+def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
+    """Resolve train/valid inputs from the environment (h5, synthetic, or
+    device-resident), for any experiment."""
+    fast = _env("TERRAIN_FAST") == "1"
+    if _env("TERRAIN_SYNTHETIC") == "1":
+        from terrain_tpu.data.synthetic import make_pairs
+
+        n = int(_env("TERRAIN_N", "240"))
+        xt, yt = make_pairs(n, in_shp, seed=0)
+        xv, yv = make_pairs(max(n // 10, 4), in_shp, seed=1)
+        if fast:
+            return (DeviceDataset(xt, yt, is_a_grayscale, is_b_grayscale),
+                    DeviceDataset(xv, yv, is_a_grayscale, is_b_grayscale))
+        bs = int(_env("TERRAIN_BS", "4"))
+        return (Hdf5Iterator(xt, yt, bs, is_a_grayscale=is_a_grayscale,
+                             is_b_grayscale=is_b_grayscale),
+                Hdf5Iterator(xv, yv, bs, is_a_grayscale=is_a_grayscale,
+                             is_b_grayscale=is_b_grayscale))
+    path = _env("TERRAIN_DATA", "data/textures_v2_brown500.h5")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"dataset {path!r} not found — set TERRAIN_DATA to a paired h5 "
+            "(xt/yt/xv/yv, uint8 NHWC; build one with tools/build_dataset.py) "
+            "or set TERRAIN_SYNTHETIC=1")
+    if fast:
+        return get_device_datasets(path, is_a_grayscale, is_b_grayscale)
+    bs = int(_env("TERRAIN_BS", "4"))
+    return get_iterators(path, bs, is_a_grayscale, is_b_grayscale)
+
+
+def _resolve_model(model_dir, preferred):
+    """Prefer the reference's hardcoded checkpoint name, else latest epoch."""
+    cand = os.path.join(model_dir, preferred)
+    if os.path.exists(cand):
+        return cand
+    models = glob.glob(os.path.join(model_dir, "*.model"))
+    if not models:
+        raise FileNotFoundError(f"no checkpoints under {model_dir}")
+    return max(models, key=lambda p: int(os.path.basename(p).split(".")[0]))
+
+
+def _run(model, name, mode, bs):
+    out_root = _env("TERRAIN_OUT", "output")
+    model_root = _env("TERRAIN_MODELS", "models")
+    out_dir = os.path.join(out_root, name)
+    model_dir = os.path.join(model_root, name)
+    it_train, it_val = _get_data(model.in_shp, model.is_a_grayscale,
+                                 model.is_b_grayscale)
+    model.train(it_train, it_val, batch_size=bs,
+                num_epochs=int(_env("TERRAIN_EPOCHS", "1000")),
+                out_dir=out_dir, model_dir=model_dir,
+                save_every=int(_env("TERRAIN_SAVE_EVERY", "10")),
+                quick_run=_env("TERRAIN_QUICK") == "1")
+
+
+def _build_test1(train_mode, p2p_bilinear, verbose=True):
+    """The shared test1 configuration (reference experiments.py:22-119):
+    LSGAN, rmsprop lr=1e-4, latent 1000, 512px, DCGAN div [2,2,4,4,8,8,8] /
+    [8,4,4,4,2,2,2], U-Net nf=64 (optionally bilinear decoder), PatchGAN
+    nf=64 with linear output."""
+    return TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"num_repeats": 0, "div": [2, 2, 4, 4, 8, 8, 8]},
+        disc_params_dcgan={"num_repeats": 0, "bn": False,
+                           "nonlinearity": "linear", "div": [8, 4, 4, 4, 2, 2, 2]},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 64, "act": "tanh", "num_repeats": 0,
+                        **({"bilinear_upsample": True} if p2p_bilinear else {})},
+        disc_params_p2p={"nf": 64, "bn": False, "num_repeats": 0,
+                         "act": "linear", "mul_factor": [1, 2, 4, 8]},
+        in_shp=512,
+        latent_dim=1000,
+        is_a_grayscale=True,
+        is_b_grayscale=False,
+        lsgan=True,
+        opt="rmsprop",
+        opt_args={"learning_rate": 1e-4},
+        train_mode=train_mode,
+        compute_dtype=_compute_dtype(),
+        verbose=verbose,
+    )
+
+
+@experiment
+def test1_nobn(mode):
+    """Reference experiments.py:22-55 (name test1_repeatnod_fixp2p_nobn)."""
+    assert mode in ("train", "interp", "gen")
+    model = _build_test1(train_mode="both", p2p_bilinear=False)
+    name = "test1_repeatnod_fixp2p_nobn"
+    bs = int(_env("TERRAIN_BS", "4"))
+    model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
+    if mode == "train":
+        _run(model, name, mode, bs)
+    elif mode == "interp":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        zs = model.sampler(2, model.latent_dim)
+        model.generate_interpolation("/tmp/test.png", zs[0], zs[1], mode="matrix")
+    elif mode == "gen":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.generate_gz(100, 10, "deleteme")
+
+
+@experiment
+def test1_nobn_finetunep2p_bilin(mode):
+    """Reference experiments.py:58-92: freeze the DCGAN (load its weights),
+    fine-tune only the p2p stage with a bilinear-upsample decoder."""
+    assert mode in ("train", "interp", "gen")
+    model = _build_test1(train_mode="p2p", p2p_bilinear=True)
+    base = "test1_repeatnod_fixp2p_nobn"
+    name = "test1_repeatnod_fixp2p_nobn_finetunep2p_bilin"
+    bs = int(_env("TERRAIN_BS", "4"))
+    models_root = _env("TERRAIN_MODELS", "models")
+    if mode == "train":
+        model.load_model(
+            _resolve_model(os.path.join(models_root, base), "1000.model"),
+            mode="dcgan")
+        _run(model, name, mode, bs)
+    elif mode == "interp":
+        model.load_model(
+            _resolve_model(os.path.join(models_root, base), "1000.model"),
+            mode="dcgan")
+        model.load_model(
+            _resolve_model(os.path.join(models_root, name), "1000.model"),
+            mode="p2p")
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name,
+                           "interp_clip_600_concat_bothdet")
+        model.generate_interpolation_clip(100, 4, out, concat=True,
+                                          deterministic=True)
+
+
+@experiment
+def test1_nobn_bilin_both(mode):
+    """Reference experiments.py:98-125: both stages trained together, p2p
+    decoder uses bilinear upsampling.  This is the flagship configuration."""
+    assert mode in ("train", "interp", "gen")
+    model = _build_test1(train_mode="both", p2p_bilinear=True)
+    name = "test1_nobn_bilin_both"
+    bs = int(_env("TERRAIN_BS", "4"))
+    model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
+    if mode == "train":
+        _run(model, name, mode, bs)
+    elif mode == "gen":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.generate_gz(100, 10, os.path.join(_env("TERRAIN_OUT", "output"),
+                                                name, "gen"))
+    elif mode == "interp":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
+        model.generate_interpolation_clip(10, 4, out, concat=True)
+
+
+@experiment
+def smoke_synthetic(mode):
+    """Tiny end-to-end smoke config (64px, small nets, synthetic data) for
+    fast verification on CPU; exercises the full train/interp/gen surface."""
+    assert mode in ("train", "interp", "gen")
+    os.environ.setdefault("TERRAIN_SYNTHETIC", "1")
+    os.environ.setdefault("TERRAIN_N", "16")
+    os.environ.setdefault("TERRAIN_EPOCHS", "2")
+    model = TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 64, "h": 3, "initial_size": 4,
+                          "final_size": 64, "div": [2, 2, 4, 4]},
+        disc_params_dcgan={"nch": 64, "h": 3, "div": [4, 2, 2, 1], "bn": False,
+                           "nonlinearity": "linear"},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 8, "act": "tanh", "bilinear_upsample": True},
+        disc_params_p2p={"nf": 8, "bn": False, "act": "linear"},
+        in_shp=64,
+        latent_dim=32,
+        is_a_grayscale=True,
+        is_b_grayscale=False,
+        lsgan=True,
+        opt="rmsprop",
+        opt_args={"learning_rate": 1e-4},
+        train_mode="both",
+        compute_dtype=_compute_dtype(),
+    )
+    name = "smoke_synthetic"
+    bs = int(_env("TERRAIN_BS", "4"))
+    model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
+    if mode == "train":
+        _run(model, name, mode, bs)
+    elif mode == "gen":
+        model.load_model(_resolve_model(model_dir, "2.model"))
+        model.generate_gz(8, 4, os.path.join(_env("TERRAIN_OUT", "output"),
+                                             name, "gen"))
+    elif mode == "interp":
+        model.load_model(_resolve_model(model_dir, "2.model"))
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
+        model.generate_interpolation_clip(3, 4, out, concat=True)

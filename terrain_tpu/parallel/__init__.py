@@ -1,0 +1,11 @@
+"""Parallelism layer: device meshes, DP/TP shardings, distributed init."""
+
+from terrain_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    place,
+    replicated,
+    tp_shardings,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "tp_shardings", "place"]

@@ -1,0 +1,57 @@
+"""Checkpointing with stage-partial restore (reference pix2pix.py:158-186).
+
+Checkpoints are gzip-pickled nested dicts of NumPy arrays, keeping the
+reference's top-level layout {'dcgan': {'gen', 'disc'}, 'p2p': {'gen',
+'disc'}} and the `<epoch>.model` file naming (pix2pix.py:274-275), with each
+network entry holding {'params', 'state'} pytrees.  `mode` in
+{'both','dcgan','p2p'} selects which stage to restore — this powers the
+freeze-DCGAN / fine-tune-p2p workflow (reference experiments.py:80, 90-91).
+
+An optional 'extra' entry can carry optimizer states / epoch / rng for exact
+resume (beyond what the reference persisted).
+"""
+
+import gzip
+import pickle
+
+import jax
+import numpy as np
+
+_STAGES = {"dcgan": ("dcgan_gen", "dcgan_disc"), "p2p": ("p2p_gen", "p2p_disc")}
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_model(filename, params, states, extra=None):
+    """params/states: dicts keyed by net name (dcgan_gen, dcgan_disc, ...)."""
+    payload = {"format": "terrain_tpu/v1"}
+    for stage, (g, d) in _STAGES.items():
+        payload[stage] = {
+            "gen": {"params": _to_numpy(params[g]), "state": _to_numpy(states[g])},
+            "disc": {"params": _to_numpy(params[d]), "state": _to_numpy(states[d])},
+        }
+    if extra is not None:
+        payload["extra"] = _to_numpy(extra)
+    with gzip.open(filename, "wb") as f:
+        pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+
+
+def load_model(filename, params, states, mode="both"):
+    """Returns (params, states) with the selected stage(s) replaced from disk.
+
+    The incoming trees provide structure for nets not present in the file.
+    """
+    assert mode in ("both", "dcgan", "p2p")
+    with gzip.open(filename, "rb") as f:
+        payload = pickle.load(f)
+    new_params = dict(params)
+    new_states = dict(states)
+    stages = ("dcgan", "p2p") if mode == "both" else (mode,)
+    for stage in stages:
+        for role, net in zip(("gen", "disc"), _STAGES[stage]):
+            entry = payload[stage][role]
+            new_params[net] = jax.tree.map(np.asarray, entry["params"])
+            new_states[net] = jax.tree.map(np.asarray, entry["state"])
+    return new_params, new_states, payload.get("extra")

@@ -1,0 +1,418 @@
+"""TwoStageGAN — the reference `Pix2Pix` orchestrator (pix2pix.py:19-425),
+rebuilt around jit-compiled steps.
+
+Public surface kept from the reference: constructor taking architecture
+factory functions + kwargs dicts, `train(it_train, it_val, batch_size,
+num_epochs, out_dir, model_dir, save_every, resume, quick_run)`,
+`save_model`/`load_model(mode)`, `generate_atob`, `generate_gz`,
+`generate_interpolation`, `generate_interpolation_clip`, `train_keys`, and
+the results.txt CSV schema (epoch, 5 train losses, 5 valid losses, lr, time,
+mode — pix2pix.py:213-220).
+
+TPU-first differences:
+  * one jitted step trains all four networks simultaneously with donated
+    buffers (terrain_tpu/train/step.py);
+  * `train` accepts either host iterators (parity path) or DeviceDatasets
+    (device-resident uint8 data; per-step host traffic = one int32 index
+    vector + the latent batch);
+  * paired augmentation runs on device inside the step (`da=True`);
+  * fixed reference bugs, documented: the valid loop reads the *valid*
+    iterator (the reference always read it_train, pix2pix.py:201-207), and
+    `generate_interpolation` samples both endpoints correctly
+    (pix2pix.py:347-350 indexes out of bounds).
+"""
+
+import os
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from terrain_tpu.data import DeviceDataset, augment_pair, epoch_index_schedule
+from terrain_tpu.models.core import param_count
+from terrain_tpu.train import checkpoint as ckpt
+from terrain_tpu.train.losses import TRAIN_KEYS
+from terrain_tpu.train.optim import get_optimizer
+from terrain_tpu.train.schedule import ReduceLROnPlateau
+from terrain_tpu.train.step import ACTIVE, build_eval_step, build_train_step
+from terrain_tpu.utils import convert_to_rgb, plot_grid, save_png, write_image_grid
+
+
+def _floatX(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+class TwoStageGAN:
+    """Two-stage DCGAN -> pix2pix trainer.  Given pairs [A, B], the DCGAN
+    maps prior samples z -> A and the pix2pix GAN synthesizes B from A
+    (reference pix2pix.py:32-35)."""
+
+    train_keys = list(TRAIN_KEYS)
+
+    def __init__(self,
+                 gen_fn_dcgan, disc_fn_dcgan, gen_params_dcgan, disc_params_dcgan,
+                 gen_fn_p2p, disc_fn_p2p, gen_params_p2p, disc_params_p2p,
+                 in_shp, latent_dim, is_a_grayscale, is_b_grayscale,
+                 alpha=100, opt="adam", opt_args=None, train_mode="both",
+                 reconstruction="l1", sampler=np.random.rand, lsgan=False,
+                 verbose=True, seed=0, compute_dtype=None, da=True, mesh=None):
+        assert train_mode in ("dcgan", "p2p", "both")
+        self.in_shp = in_shp
+        self.latent_dim = latent_dim
+        self.is_a_grayscale = is_a_grayscale
+        self.is_b_grayscale = is_b_grayscale
+        self.train_mode = train_mode
+        self.sampler = sampler
+        self.verbose = verbose
+        self.da = da
+        self.mesh = mesh
+        self.alpha = alpha
+        self.lsgan = lsgan
+        self.reconstruction = reconstruction
+        self.compute_dtype = compute_dtype
+
+        def _kw(d):
+            d = dict(d or {})
+            if compute_dtype is not None:
+                d.setdefault("compute_dtype", compute_dtype)
+            return d
+
+        self.nets = {
+            "dcgan_gen": gen_fn_dcgan(latent_dim, is_a_grayscale, **_kw(gen_params_dcgan)),
+            "dcgan_disc": disc_fn_dcgan(in_shp, is_a_grayscale, **_kw(disc_params_dcgan)),
+            "p2p_gen": gen_fn_p2p(in_shp, is_a_grayscale, is_b_grayscale, **_kw(gen_params_p2p)),
+            "p2p_disc": disc_fn_p2p(in_shp, is_a_grayscale, is_b_grayscale, **_kw(disc_params_p2p)),
+        }
+        key = jax.random.PRNGKey(seed)
+        self.params, self.states = {}, {}
+        for i, (name, net) in enumerate(self.nets.items()):
+            self.params[name], self.states[name] = net.init(jax.random.fold_in(key, i))
+        if verbose:
+            for name, net in self.nets.items():
+                print(f"{name}: {param_count(self.params[name]):,} learnable params")
+            print(f"train_mode: {train_mode}")
+
+        self.optimizer = get_optimizer(opt, opt_args)
+        self.lr = float(self.optimizer.default_lr)
+        self.opt_states = {
+            n: self.optimizer.init(self.params[n]) for n in ACTIVE[train_mode]
+        }
+        self._batch_sharding = None
+        if mesh is not None:
+            # DP: batches sharded over 'data'; TP: wide weights sharded over
+            # 'model'; everything else replicated.  XLA lowers the induced
+            # gradient reductions to ICI collectives.
+            from terrain_tpu.parallel import batch_sharding, place, tp_shardings
+
+            self._batch_sharding = batch_sharding(mesh)
+            for n in self.nets:
+                self.params[n] = place(self.params[n], tp_shardings(self.params[n], mesh))
+                self.states[n] = place(self.states[n], mesh)
+            self.opt_states = {
+                n: place(self.opt_states[n], tp_shardings(self.opt_states[n], mesh))
+                for n in self.opt_states
+            }
+        self._base_key = jax.random.fold_in(key, 777)
+        self._step_counter = 0
+        self._sched_rnd = np.random.RandomState(seed)
+
+        step_kw = dict(alpha=alpha, lsgan=lsgan, reconstruction=reconstruction)
+        # host-batch steps: batch = (Z, X, Y); augmentation fused in-graph
+        host_prepare = self._host_prepare if da else None
+        self._train_step = jax.jit(
+            build_train_step(self.nets, self.optimizer, train_mode=train_mode,
+                             prepare=host_prepare, **step_kw),
+            donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(
+            build_eval_step(self.nets, prepare=host_prepare, **step_kw))
+        self._cache_steps = {}  # id(DeviceDataset) -> (train_step, eval_step)
+
+        # jitted samplers (reference z_fn / z_fn_det / gen_fn / gen_fn_det,
+        # pix2pix.py:144-147); 'deterministic' = running BN stats + no dropout
+        from terrain_tpu.sample import (
+            make_atob_sampler,
+            make_two_stage_sampler,
+            make_z_sampler,
+        )
+
+        self._z_det, self._z_stoch = make_z_sampler(self.nets["dcgan_gen"])
+        self._g_det, self._g_stoch = make_atob_sampler(self.nets["p2p_gen"])
+        # the full z -> heightmap -> texture pipeline in ONE XLA program
+        self._two_stage_det, self._two_stage_stoch = make_two_stage_sampler(
+            self.nets["dcgan_gen"], self.nets["p2p_gen"])
+
+    # ------------------------------------------------------------------ rng
+    def _next_rng(self):
+        self._step_counter += 1
+        return jax.random.fold_in(self._base_key, self._step_counter)
+
+    def _host_prepare(self, batch, rng):
+        Z, X, Y = batch
+        X, Y = augment_pair(jax.random.fold_in(rng, 0x5eed), X, Y)
+        return Z, X, Y
+
+    # ---------------------------------------------------------------- steps
+    def _get_cache_steps(self, ds):
+        key = id(ds)
+        if key not in self._cache_steps:
+            prepare = ds.make_prepare(augment=self.da)
+            kw = dict(alpha=self.alpha, lsgan=self.lsgan,
+                      reconstruction=self.reconstruction)
+            tr = jax.jit(
+                build_train_step(self.nets, self.optimizer,
+                                 train_mode=self.train_mode, prepare=prepare, **kw),
+                donate_argnums=(0, 1, 2))
+            ev = jax.jit(build_eval_step(self.nets, prepare=prepare, **kw))
+            self._cache_steps[key] = (tr, ev)
+        return self._cache_steps[key]
+
+    def _put_batch(self, x):
+        """Place a batch array, sharding the leading dim when on a mesh."""
+        if self._batch_sharding is not None:
+            return jax.device_put(np.asarray(x), self._batch_sharding)
+        return jnp.asarray(x)
+
+    def _sample_z(self, n):
+        return self._put_batch(_floatX(self.sampler(n, self.latent_dim)))
+
+    def _run_epoch(self, itr, batch_size, *, train, quick_run=False):
+        """One pass over `itr` (host iterator or DeviceDataset); returns the
+        mean of each loss.  Fixes the reference bug of always reading
+        it_train in the valid loop (pix2pix.py:201-207)."""
+        recs = []
+        if isinstance(itr, DeviceDataset):
+            tr_step, ev_step = self._get_cache_steps(itr)
+            for idx in epoch_index_schedule(itr.N, batch_size, self._sched_rnd):
+                batch = (self._sample_z(batch_size), self._put_batch(idx))
+                rng = self._next_rng()
+                if train:
+                    (self.params, self.states, self.opt_states, losses) = tr_step(
+                        self.params, self.states, self.opt_states, batch, rng,
+                        jnp.float32(self.lr))
+                else:
+                    losses = ev_step(self.params, self.states, batch, rng)
+                recs.append(losses)
+                if quick_run:
+                    break
+        else:
+            for _ in range(itr.N // batch_size):
+                X, Y = next(itr)
+                batch = (self._sample_z(X.shape[0]), self._put_batch(X),
+                         self._put_batch(Y))
+                rng = self._next_rng()
+                if train:
+                    (self.params, self.states, self.opt_states, losses) = self._train_step(
+                        self.params, self.states, self.opt_states, batch, rng,
+                        jnp.float32(self.lr))
+                else:
+                    losses = self._eval_step(self.params, self.states, batch, rng)
+                recs.append(losses)
+                if quick_run:
+                    break
+        stacked = jax.device_get(recs)
+        return {k: float(np.mean([r[k] for r in stacked])) for k in TRAIN_KEYS}
+
+    # ----------------------------------------------------------- train loop
+    def train(self, it_train, it_val, batch_size, num_epochs, out_dir,
+              model_dir=None, save_every=10, resume=False, quick_run=False,
+              reduce_on_plateau=False):
+        """Reference train loop (pix2pix.py:187-275): per-epoch train+valid
+        passes, CSV row, image dumps, periodic checkpoints.  `resume` keeps
+        the reference's conflated bool/path semantics: falsy -> fresh
+        results.txt; a path -> append and load weights from it
+        (pix2pix.py:234-241)."""
+        header = (["epoch"]
+                  + [f"train_{k}" for k in TRAIN_KEYS]
+                  + [f"valid_{k}" for k in TRAIN_KEYS]
+                  + ["lr", "time", "mode"])
+        os.makedirs(out_dir, exist_ok=True)
+        if model_dir is not None:
+            os.makedirs(model_dir, exist_ok=True)
+        f = open(os.path.join(out_dir, "results.txt"),
+                 "w" if not resume else "a")
+        if not resume:
+            f.write(",".join(header) + "\n")
+            f.flush()
+            if self.verbose:
+                print(",".join(header))
+        else:
+            if self.verbose:
+                print(f"loading weights from: {resume}")
+            self.load_model(resume)
+        # constructed but default-off, like the reference (pix2pix.py:242)
+        cb = ReduceLROnPlateau(verbose=self.verbose) if reduce_on_plateau else None
+        for e in range(num_epochs):
+            t0 = time()
+            out = [str(e + 1)]
+            train_losses = self._run_epoch(
+                it_train, batch_size, train=True, quick_run=quick_run)
+            out += [repr(train_losses[k]) for k in TRAIN_KEYS]
+            if cb is not None:
+                self.lr = cb.step(self.lr, train_losses["p2p_recon"], e + 1)
+            valid_losses = self._run_epoch(
+                it_val, batch_size, train=False, quick_run=quick_run)
+            out += [repr(valid_losses[k]) for k in TRAIN_KEYS]
+            out += [repr(self.lr), repr(time() - t0), self.train_mode]
+            row = ",".join(out)
+            if self.verbose:
+                print(row)
+            f.write(row + "\n")
+            f.flush()
+            if self.train_mode in ("both", "p2p"):
+                self._plot_grid_epoch(it_val, os.path.join(out_dir, f"out_{e + 1}.png"),
+                                      batch_size)
+                self.generate_atob(it_train, 1, os.path.join(out_dir, "dump_train"),
+                                   deterministic=False, batch_size=batch_size)
+                self.generate_atob(it_val, 1, os.path.join(out_dir, "dump_valid"),
+                                   deterministic=False, batch_size=batch_size)
+            if self.train_mode in ("both", "dcgan"):
+                self.generate_gz(num_examples=20, batch_size=batch_size,
+                                 out_dir=os.path.join(out_dir, "dump_a"),
+                                 deterministic=False)
+            if model_dir is not None and (e + 1) % save_every == 0:
+                self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
+        f.close()
+
+    # -------------------------------------------------------------- batches
+    def _batches_from(self, itr, batch_size, n):
+        """Yield n (X, Y) device batches from a host iterator or DeviceDataset."""
+        if isinstance(itr, DeviceDataset):
+            count = 0
+            while count < n:  # cycle epochs like the infinite host iterator
+                for idx in epoch_index_schedule(itr.N, batch_size, self._sched_rnd):
+                    if count >= n:
+                        break
+                    yield itr.gather_normalize(jnp.asarray(idx))
+                    count += 1
+        else:
+            for _ in range(n):
+                X, Y = next(itr)
+                yield jnp.asarray(X), jnp.asarray(Y)
+
+    def _plot_grid_epoch(self, itr, out_path, batch_size, N=4):
+        gen = self._batches_from(itr, batch_size, N * N)
+        fn = lambda a: np.asarray(
+            self._g_stoch(self.params["p2p_gen"], self.states["p2p_gen"],
+                          jnp.asarray(a), self._next_rng()))
+        plot_grid(out_path, ((np.asarray(x), np.asarray(y)) for x, y in gen),
+                  fn, self.is_a_grayscale, self.is_b_grayscale, N=N)
+
+    # ---------------------------------------------------------- checkpoints
+    def save_model(self, filename):
+        ckpt.save_model(filename, self.params, self.states,
+                        extra={"lr": self.lr, "step": self._step_counter})
+
+    def load_model(self, filename, mode="both"):
+        self.params, self.states, extra = ckpt.load_model(
+            filename, self.params, self.states, mode=mode)
+        # re-init optimizer state for restored nets (reference restarts
+        # optimizers on load as well — theano updates aren't persisted)
+        self.opt_states = {
+            n: self.optimizer.init(self.params[n]) for n in ACTIVE[self.train_mode]
+        }
+
+    # -------------------------------------------------------------- sampling
+    def _z_fn(self, z, deterministic):
+        p, s = self.params["dcgan_gen"], self.states["dcgan_gen"]
+        z = jnp.asarray(_floatX(z))
+        if deterministic:
+            return self._z_det(p, s, z)
+        return self._z_stoch(p, s, z, self._next_rng())
+
+    def _gen_fn(self, x, deterministic):
+        p, s = self.params["p2p_gen"], self.states["p2p_gen"]
+        x = jnp.asarray(x)
+        if deterministic:
+            return self._g_det(p, s, x)
+        return self._g_stoch(p, s, x, self._next_rng())
+
+    def generate_atob(self, itr, num_batches, out_dir, dont_predict=False,
+                      deterministic=True, batch_size=4):
+        """Dump full-res [A, predict(A)] pairs as <i>.a.png / <i>.b.png
+        (reference pix2pix.py:276-305)."""
+        os.makedirs(out_dir, exist_ok=True)
+        ctr = 0
+        for X, Y in self._batches_from(itr, batch_size, num_batches):
+            pred = Y if dont_predict else self._gen_fn(X, deterministic)
+            X, pred = np.asarray(X), np.asarray(pred)
+            for i in range(pred.shape[0]):
+                save_png(os.path.join(out_dir, f"{ctr}.a.png"),
+                         convert_to_rgb(X[i], is_grayscale=self.is_a_grayscale))
+                save_png(os.path.join(out_dir, f"{ctr}.b.png"),
+                         convert_to_rgb(pred[i], is_grayscale=self.is_b_grayscale))
+                ctr += 1
+
+    def generate_gz(self, num_examples, batch_size, out_dir, deterministic=True):
+        """Dump DCGAN samples G(z) as <i>.png (reference pix2pix.py:306-326)."""
+        os.makedirs(out_dir, exist_ok=True)
+        z = _floatX(self.sampler(num_examples, self.latent_dim))
+        ctr = 0
+        for b in range(num_examples // batch_size):
+            out = np.asarray(self._z_fn(z[b * batch_size:(b + 1) * batch_size],
+                                        deterministic))
+            for i in range(out.shape[0]):
+                save_png(os.path.join(out_dir, f"{ctr}.png"),
+                         convert_to_rgb(out[i], is_grayscale=self.is_a_grayscale))
+                ctr += 1
+
+    def generate_interpolation(self, out_name, zsample1=None, zsample2=None,
+                               deterministic=True, mode="row", figsize=(10, 10),
+                               cmap="gray"):
+        """Decoded interpolation between two prior samples, as a 1x6 row or
+        5x5 matrix grid (reference pix2pix.py:328-372; endpoint sampling
+        fixed — the reference indexed sampler(1, d)[1] out of bounds)."""
+        assert mode in ("row", "matrix")
+        if zsample1 is None or zsample2 is None:
+            zs = _floatX(self.sampler(2, self.latent_dim))
+            zsample1 = zs[0] if zsample1 is None else zsample1
+            zsample2 = zs[1] if zsample2 is None else zsample2
+        zsample1, zsample2 = _floatX(zsample1), _floatX(zsample2)
+        shape = (1, 6) if mode == "row" else (5, 5)
+        coefs = ([0.0, 0.1, 0.3, 0.6, 0.9, 1.0] if mode == "row"
+                 else np.linspace(0, 1, 25).tolist())
+        zbatch = np.stack([(1 - a) * zsample1 + a * zsample2 for a in coefs])
+        imgs = np.asarray(self._z_fn(zbatch, deterministic))
+        grid = np.zeros(shape + (self.in_shp, self.in_shp, 3), np.float32)
+        for c in range(len(coefs)):
+            grid[c // shape[1], c % shape[1]] = convert_to_rgb(
+                imgs[c], is_grayscale=self.is_a_grayscale)
+        write_image_grid(out_name, grid, figsize=figsize, cmap=cmap)
+
+    def generate_interpolation_clip(self, num_samples, batch_size, out_dir,
+                                    deterministic=True, min_max_norm=False,
+                                    concat=False):
+        """Frames of a chained z_1 .. z_n interpolation through the FULL
+        two-stage pipeline (reference pix2pix.py:374-425), with the
+        z -> heightmap -> texture graph fused into one jitted program."""
+        os.makedirs(out_dir, exist_ok=True)
+        zs = _floatX(self.sampler(num_samples, self.latent_dim))
+        coefs = np.linspace(0, 1, 25, dtype=np.float32)
+        all_tps = np.concatenate(
+            [np.stack([(1 - a) * zs[i] + a * zs[i + 1] for a in coefs])
+             for i in range(num_samples - 1)])
+        pg, sg = self.params["dcgan_gen"], self.states["dcgan_gen"]
+        pu, su = self.params["p2p_gen"], self.states["p2p_gen"]
+        ctr = 0
+        for b in range(all_tps.shape[0] // batch_size):
+            zb = jnp.asarray(all_tps[b * batch_size:(b + 1) * batch_size])
+            if deterministic:
+                a_out, b_out = self._two_stage_det(pg, sg, pu, su, zb)
+            else:
+                a_out, b_out = self._two_stage_stoch(pg, sg, pu, su, zb,
+                                                     self._next_rng())
+            a_out, b_out = np.asarray(a_out), np.asarray(b_out)
+            for i in range(a_out.shape[0]):
+                a_img = a_out[i]
+                if min_max_norm:
+                    a_img = (a_img - a_img.min()) / (a_img.max() - a_img.min())
+                a_rgb = convert_to_rgb(a_img, is_grayscale=self.is_a_grayscale)
+                b_rgb = convert_to_rgb(b_out[i], is_grayscale=self.is_b_grayscale)
+                d = f"{ctr:04d}"
+                if concat:
+                    full = np.concatenate([a_rgb, b_rgb], axis=1)
+                    save_png(os.path.join(out_dir, f"concat_{d}.png"), full)
+                else:
+                    save_png(os.path.join(out_dir, f"a_{d}.png"), a_rgb)
+                    save_png(os.path.join(out_dir, f"b_{d}.png"), b_rgb)
+                ctr += 1

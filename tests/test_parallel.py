@@ -1,0 +1,118 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8): DP/TP sharded training must run
+and match the single-device step numerically."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from terrain_tpu.data import DeviceDataset
+from terrain_tpu.data.synthetic import make_pairs
+from terrain_tpu.models import dcgan, p2p
+from terrain_tpu.parallel import batch_sharding, make_mesh, replicated, tp_shardings
+from terrain_tpu.train.trainer import TwoStageGAN
+
+IN = 16
+LAT = 8
+
+
+def _model(mesh=None, da=True):
+    return TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 8, "h": 3, "initial_size": 4,
+                          "final_size": IN, "div": [2, 2]},
+        disc_params_dcgan={"nch": IN, "h": 3, "div": [4, 2], "bn": False,
+                           "nonlinearity": "linear"},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 4, "act": "tanh"},
+        disc_params_p2p={"nf": 4, "bn": False, "act": "linear"},
+        in_shp=IN, latent_dim=LAT, is_a_grayscale=True, is_b_grayscale=False,
+        lsgan=True, opt="rmsprop", opt_args={"learning_rate": 1e-4},
+        train_mode="both", verbose=False, mesh=mesh, da=da)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    mesh1 = make_mesh()
+    assert mesh1.shape["data"] == 8 and mesh1.shape["model"] == 1
+
+
+def test_tp_shardings_select_wide_weights():
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {
+        "wide": jnp.zeros((3, 3, 64, 256)),
+        "narrow": jnp.zeros((3, 3, 8, 16)),
+        "dense": jnp.zeros((100, 512)),
+        "bias": jnp.zeros((256,)),
+    }
+    sh = tp_shardings(params, mesh)
+    assert sh["wide"].spec == jax.sharding.PartitionSpec(None, None, None, "model")
+    assert sh["dense"].spec == jax.sharding.PartitionSpec(None, "model")
+    assert sh["narrow"].spec == jax.sharding.PartitionSpec()
+    assert sh["bias"].spec == jax.sharding.PartitionSpec()
+
+
+def test_dp_step_matches_single_device():
+    """Same global batch + rng: 8-way DP must reproduce the single-device
+    step (BN stats are global either way)."""
+    mesh = make_mesh(n_data=8, n_model=1)
+    m_single = _model(mesh=None, da=False)
+    m_dp = _model(mesh=mesh, da=False)
+    r = np.random.RandomState(0)
+    bs = 8
+    Z = r.rand(bs, LAT).astype(np.float32)
+    X = r.rand(bs, IN, IN, 1).astype(np.float32)
+    Y = (r.rand(bs, IN, IN, 3) * 2 - 1).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+    lr = jnp.float32(1e-4)
+
+    out_s = m_single._train_step(
+        m_single.params, m_single.states, m_single.opt_states,
+        (jnp.asarray(Z), jnp.asarray(X), jnp.asarray(Y)), rng, lr)
+    out_d = m_dp._train_step(
+        m_dp.params, m_dp.states, m_dp.opt_states,
+        (m_dp._put_batch(Z), m_dp._put_batch(X), m_dp._put_batch(Y)), rng, lr)
+    for k in out_s[3]:
+        np.testing.assert_allclose(float(out_s[3][k]), float(out_d[3][k]),
+                                   rtol=2e-4, atol=2e-5)
+    # spot-check a parameter leaf
+    a = np.asarray(out_s[0]["p2p_gen"]["enc"][0]["conv"]["w"])
+    b = np.asarray(out_d[0]["p2p_gen"]["enc"][0]["conv"]["w"])
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_dp_tp_mesh_trains_device_cache():
+    """2D (data=4, model=2) mesh with the device-resident data path."""
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = _model(mesh=mesh)
+    x, y = make_pairs(16, IN, seed=0)
+    ds = DeviceDataset(x, y, sharding=replicated(mesh))
+    tr_step, ev_step = m._get_cache_steps(ds)
+    bs = 8
+    Z = m._sample_z(bs)
+    idx = m._put_batch(np.arange(bs, dtype=np.int32))
+    params, states, opt_states, losses = tr_step(
+        m.params, m.states, m.opt_states, (Z, idx), jax.random.PRNGKey(0),
+        jnp.float32(1e-4))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_returns_jittable_flagship():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    # trace without compiling: shapes must line up at 512px
+    out = jax.eval_shape(fn, *args)
+    assert out[0].shape == (1, 512, 512, 1)
+    assert out[1].shape == (1, 512, 512, 3)

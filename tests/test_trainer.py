@@ -1,0 +1,153 @@
+"""End-to-end trainer tests on tiny configs: full epochs with artifacts,
+checkpoint partial restore, device-cache path, samplers, CSV schema."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from terrain_tpu.data import DeviceDataset, Hdf5Iterator
+from terrain_tpu.data.synthetic import make_pairs
+from terrain_tpu.models import dcgan, p2p
+from terrain_tpu.train.trainer import TwoStageGAN
+
+IN = 16
+LAT = 8
+
+
+def tiny_model(train_mode="both", **kw):
+    return TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 8, "h": 3, "initial_size": 4,
+                          "final_size": IN, "div": [2, 2]},
+        disc_params_dcgan={"nch": IN, "h": 3, "div": [4, 2], "bn": False,
+                           "nonlinearity": "linear"},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 4, "act": "tanh"},
+        disc_params_p2p={"nf": 4, "bn": False, "act": "linear"},
+        in_shp=IN, latent_dim=LAT,
+        is_a_grayscale=True, is_b_grayscale=False,
+        lsgan=True, opt="rmsprop", opt_args={"learning_rate": 1e-4},
+        train_mode=train_mode, verbose=False, **kw)
+
+
+def _iters(n=8, bs=4):
+    x, y = make_pairs(n, IN, seed=0)
+    xv, yv = make_pairs(4, IN, seed=1)
+    return (Hdf5Iterator(x, y, bs), Hdf5Iterator(xv, yv, bs))
+
+
+def test_train_writes_csv_and_artifacts(tmp_path):
+    m = tiny_model()
+    it_train, it_val = _iters()
+    out = str(tmp_path / "out")
+    mdl = str(tmp_path / "models")
+    m.train(it_train, it_val, batch_size=4, num_epochs=2, out_dir=out,
+            model_dir=mdl, save_every=1, quick_run=True)
+    lines = open(os.path.join(out, "results.txt")).read().strip().split("\n")
+    header = lines[0].split(",")
+    assert header == (
+        ["epoch"]
+        + [f"train_{k}" for k in m.train_keys]
+        + [f"valid_{k}" for k in m.train_keys]
+        + ["lr", "time", "mode"])
+    assert len(lines) == 3  # header + 2 epochs
+    row = lines[1].split(",")
+    assert row[0] == "1" and row[-1] == "both"
+    assert all(np.isfinite(float(v)) for v in row[1:-1])
+    # artifacts: epoch grids, atob dumps, dcgan dumps, checkpoints
+    assert os.path.exists(os.path.join(out, "out_1.png"))
+    assert os.path.exists(os.path.join(out, "dump_train", "0.a.png"))
+    assert os.path.exists(os.path.join(out, "dump_valid", "0.b.png"))
+    assert os.path.exists(os.path.join(out, "dump_a", "0.png"))
+    assert os.path.exists(os.path.join(mdl, "1.model"))
+    assert os.path.exists(os.path.join(mdl, "2.model"))
+
+
+def test_train_device_cache_path(tmp_path):
+    m = tiny_model()
+    x, y = make_pairs(8, IN, seed=0)
+    xv, yv = make_pairs(4, IN, seed=1)
+    tr = DeviceDataset(x, y)
+    va = DeviceDataset(xv, yv)
+    out = str(tmp_path / "out")
+    m.train(tr, va, batch_size=4, num_epochs=1, out_dir=out, model_dir=None,
+            quick_run=True)
+    lines = open(os.path.join(out, "results.txt")).read().strip().split("\n")
+    assert len(lines) == 2
+    vals = [float(v) for v in lines[1].split(",")[1:-1]]
+    assert all(np.isfinite(vals))
+
+
+def test_checkpoint_partial_restore(tmp_path):
+    m = tiny_model()
+    path = str(tmp_path / "10.model")
+    m.save_model(path)
+    m2 = tiny_model()
+    # all four nets initialised differently? same seed -> identical; perturb
+    m2.params["dcgan_gen"]["dense"]["w"] = m2.params["dcgan_gen"]["dense"]["w"] + 1.0
+    m2.params["p2p_gen"]["enc"][0]["conv"]["w"] = (
+        m2.params["p2p_gen"]["enc"][0]["conv"]["w"] + 1.0)
+    m2.load_model(path, mode="dcgan")
+    # dcgan restored to m's values...
+    np.testing.assert_allclose(np.asarray(m2.params["dcgan_gen"]["dense"]["w"]),
+                               np.asarray(m.params["dcgan_gen"]["dense"]["w"]))
+    # ...p2p untouched (still perturbed)
+    diff = np.abs(np.asarray(m2.params["p2p_gen"]["enc"][0]["conv"]["w"])
+                  - np.asarray(m.params["p2p_gen"]["enc"][0]["conv"]["w"])).max()
+    assert diff > 0.5
+
+
+def test_resume_appends_and_loads(tmp_path):
+    m = tiny_model()
+    it_train, it_val = _iters()
+    out = str(tmp_path / "out")
+    mdl = str(tmp_path / "models")
+    m.train(it_train, it_val, 4, 1, out, mdl, save_every=1, quick_run=True)
+    ckpt = os.path.join(mdl, "1.model")
+    m2 = tiny_model()
+    m2.train(it_train, it_val, 4, 1, out, mdl, save_every=1, quick_run=True,
+             resume=ckpt)
+    lines = open(os.path.join(out, "results.txt")).read().strip().split("\n")
+    assert len(lines) == 3  # header + epoch + appended epoch (no 2nd header)
+    assert lines[2].split(",")[0] == "1"
+
+
+def test_generate_gz_and_interpolation(tmp_path):
+    m = tiny_model()
+    d = str(tmp_path / "gz")
+    m.generate_gz(num_examples=4, batch_size=2, out_dir=d)
+    assert sorted(os.listdir(d)) == ["0.png", "1.png", "2.png", "3.png"]
+    grid = str(tmp_path / "interp.png")
+    m.generate_interpolation(grid, mode="row")
+    assert os.path.exists(grid)
+    m.generate_interpolation(str(tmp_path / "interp_mat.png"), mode="matrix")
+
+
+def test_generate_interpolation_clip_two_stage(tmp_path):
+    m = tiny_model()
+    d = str(tmp_path / "clip")
+    m.generate_interpolation_clip(2, batch_size=5, out_dir=d, concat=True)
+    files = sorted(os.listdir(d))
+    # 1 pair x 25 coefs // bs 5 -> 5 batches -> 25 frames
+    assert len(files) == 25 and files[0] == "concat_0000.png"
+
+
+def test_generate_atob_dont_predict(tmp_path):
+    m = tiny_model()
+    it_train, _ = _iters()
+    d = str(tmp_path / "atob")
+    m.generate_atob(it_train, 1, d, dont_predict=True, batch_size=4)
+    assert os.path.exists(os.path.join(d, "3.b.png"))
+
+
+def test_p2p_mode_trains_without_dcgan_updates(tmp_path):
+    m = tiny_model(train_mode="p2p")
+    before = np.asarray(m.params["dcgan_gen"]["dense"]["w"]).copy()
+    it_train, it_val = _iters()
+    m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None, quick_run=True)
+    np.testing.assert_array_equal(
+        before, np.asarray(m.params["dcgan_gen"]["dense"]["w"]))
