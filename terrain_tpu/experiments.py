@@ -72,9 +72,30 @@ def get_device_datasets(dataset, is_a_grayscale, is_b_grayscale):
 
 
 def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
-    """Resolve train/valid inputs from the environment (h5, synthetic, or
-    device-resident), for any experiment."""
+    """Resolve train/valid inputs from the environment (h5, synthetic,
+    on-the-fly raster crops, or device-resident), for any experiment."""
     fast = _env("TERRAIN_FAST") == "1"
+    raster = _env("TERRAIN_RASTER")  # "heightmap.png,texture.jpg"
+    if raster:
+        import imageio.v3 as iio
+
+        from terrain_tpu.data.crops import RasterCropIterator
+
+        hm_path, tex_path = raster.split(",")
+        hm = np.asarray(iio.imread(hm_path))
+        if hm.ndim == 3:
+            hm = hm[..., 0]
+        tex = np.asarray(iio.imread(tex_path))[..., :3]
+        bs = int(_env("TERRAIN_BS", "4"))
+        n = int(_env("TERRAIN_EPOCH_CROPS", "240"))
+        tr = RasterCropIterator(hm, tex, bs, crop=in_shp, epoch_size=n, seed=0,
+                                is_a_grayscale=is_a_grayscale,
+                                is_b_grayscale=is_b_grayscale)
+        va = RasterCropIterator(hm, tex, bs, crop=in_shp,
+                                epoch_size=max(n // 10, bs), seed=1,
+                                is_a_grayscale=is_a_grayscale,
+                                is_b_grayscale=is_b_grayscale)
+        return tr, va
     if _env("TERRAIN_SYNTHETIC") == "1":
         from terrain_tpu.data.synthetic import make_pairs
 

@@ -47,6 +47,7 @@ from terrain_tpu.ops import (
     upsample_bilinear_2x,
     upsample_nearest_2x,
 )
+from terrain_tpu.ops.fused import upsample2x_nearest_conv
 
 
 def default_generator(
@@ -95,18 +96,36 @@ def default_generator(
         return params, state
 
     def apply(params, state, z, *, train=False, rng=None):
+        # Each stage is [conv -> BN -> LReLU]xR then x2 upsample; with the
+        # (shipped) nearest upsample the following stage's first conv fuses
+        # into one low-res phase-decomposed conv (ops/fused.py) — exact same
+        # math, ~2.8x fewer conv FLOPs for h=5, no 2x-res intermediate.
         new_state = {"stages": []}
         x = dense(z.astype(cd), params["dense"]["w"], params["dense"]["b"], compute_dtype=cd)
         x, new_state["bn_in"] = batch_norm(x, params["bn_in"], state["bn_in"], train=train)
         n = x.shape[0]
         x = x.reshape(n, initial_size, initial_size, nch)
+        fuse = (not bilinear_upsample) and h % 2 == 1
+        pending_up = False
+
+        def _conv(x, p, pending):
+            if pending:
+                if fuse:
+                    return upsample2x_nearest_conv(
+                        x, p["w"], p["b"], compute_dtype=cd)
+                x = (upsample_bilinear_2x(x) if bilinear_upsample
+                     else upsample_nearest_2x(x))
+            return conv2d(x, p["w"], p["b"], stride=1, padding="same",
+                          compute_dtype=cd)
+
         li = 0
         for si, ch in enumerate(channels):
             reps_s = []
             for ri in range(num_repeats + 1):
                 p = params["stages"][si][ri]
                 s = state["stages"][si][ri]
-                x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=1, padding="same", compute_dtype=cd)
+                x = _conv(x, p["conv"], pending_up)
+                pending_up = False
                 x, ns = batch_norm(x, p["bn"], s["bn"], train=train)
                 x = leaky_relu(x, 0.2)
                 if dropout_p > 0.0:
@@ -114,8 +133,8 @@ def default_generator(
                 reps_s.append({"bn": ns})
                 li += 1
             new_state["stages"].append(reps_s)
-            x = upsample_bilinear_2x(x) if bilinear_upsample else upsample_nearest_2x(x)
-        x = conv2d(x, params["conv_out"]["w"], params["conv_out"]["b"], stride=1, padding="same", compute_dtype=cd)
+            pending_up = True
+        x = _conv(x, params["conv_out"], pending_up)
         return jax.nn.sigmoid(x.astype(jnp.float32)), new_state
 
     return Network(

@@ -49,11 +49,10 @@ def conv2d(x, w, b=None, *, stride=1, padding="same", compute_dtype=None):
         window_strides=s,
         padding=pad,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
-    return out.astype(cd)
+    return out
 
 
 def conv2d_transpose(x, w, b=None, *, stride=2, compute_dtype=None):
@@ -65,8 +64,17 @@ def conv2d_transpose(x, w, b=None, *, stride=2, compute_dtype=None):
     k=2,s=2 doubles resolution; k=2,s=1 grows the 1x1 bottleneck to 2x2.
 
     w has HWIO layout where I = input channels of x, O = output channels.
+
+    The k=2 s=2 case (every U-Net decoder upsample) dispatches to the exact
+    matmul + depth-to-space formulation (ops/fused.py) — non-overlapping
+    2x2 scatter is a 1x1 conv with 4x output channels, which tiles the MXU
+    far better than a dilated conv lowering.
     """
     s = _to_pair(stride)
+    if w.shape[0] == 2 and w.shape[1] == 2 and s == (2, 2):
+        from terrain_tpu.ops.fused import deconv2x2
+
+        return deconv2x2(x, w, b, compute_dtype=compute_dtype)
     cd = compute_dtype or x.dtype
     out = lax.conv_transpose(
         x.astype(cd),
@@ -74,11 +82,10 @@ def conv2d_transpose(x, w, b=None, *, stride=2, compute_dtype=None):
         strides=s,
         padding="VALID",
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
-    return out.astype(cd)
+    return out
 
 
 def dense(x, w, b=None, *, compute_dtype=None):
@@ -87,7 +94,7 @@ def dense(x, w, b=None, *, compute_dtype=None):
     Mirrors lasagne.layers.DenseLayer (reference architectures/dcgan.py:16).
     """
     cd = compute_dtype or x.dtype
-    out = jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+    out = jnp.dot(x.astype(cd), w.astype(cd))
     if b is not None:
         out = out + b.astype(out.dtype)
-    return out.astype(cd)
+    return out

@@ -229,6 +229,10 @@ class TwoStageGAN:
         os.makedirs(out_dir, exist_ok=True)
         if model_dir is not None:
             os.makedirs(model_dir, exist_ok=True)
+        start_epoch = 0
+        if resume == "auto":
+            # failure recovery: resume from the newest checkpoint, if any
+            resume, start_epoch = self._latest_checkpoint(model_dir)
         f = open(os.path.join(out_dir, "results.txt"),
                  "w" if not resume else "a")
         if not resume:
@@ -236,17 +240,33 @@ class TwoStageGAN:
             f.flush()
             if self.verbose:
                 print(",".join(header))
+            self._dump_architectures(out_dir)
         else:
             if self.verbose:
                 print(f"loading weights from: {resume}")
             self.load_model(resume)
+        check_nans = os.environ.get("TERRAIN_CHECK_NANS") == "1"
+        profile_dir = os.environ.get("TERRAIN_PROFILE")
         # constructed but default-off, like the reference (pix2pix.py:242)
         cb = ReduceLROnPlateau(verbose=self.verbose) if reduce_on_plateau else None
-        for e in range(num_epochs):
+        for e in range(start_epoch, num_epochs):
             t0 = time()
             out = [str(e + 1)]
-            train_losses = self._run_epoch(
-                it_train, batch_size, train=True, quick_run=quick_run)
+            if profile_dir and e == start_epoch + 1:
+                # trace the second (post-compile) epoch
+                from terrain_tpu.utils.profiling import trace
+
+                with trace(profile_dir):
+                    train_losses = self._run_epoch(
+                        it_train, batch_size, train=True, quick_run=quick_run)
+            else:
+                train_losses = self._run_epoch(
+                    it_train, batch_size, train=True, quick_run=quick_run)
+            if check_nans:
+                bad = [k for k, v in train_losses.items() if not np.isfinite(v)]
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite training losses at epoch {e + 1}: {bad}")
             out += [repr(train_losses[k]) for k in TRAIN_KEYS]
             if cb is not None:
                 self.lr = cb.step(self.lr, train_losses["p2p_recon"], e + 1)
@@ -297,6 +317,32 @@ class TwoStageGAN:
                           jnp.asarray(a), self._next_rng()))
         plot_grid(out_path, ((np.asarray(x), np.asarray(y)) for x, y in gen),
                   fn, self.is_a_grayscale, self.is_b_grayscale, N=N)
+
+    def _latest_checkpoint(self, model_dir):
+        """Newest <epoch>.model under model_dir, or (False, 0) if none."""
+        import glob
+
+        if model_dir is None:
+            return False, 0
+        models = glob.glob(os.path.join(model_dir, "*.model"))
+        if not models:
+            return False, 0
+        best = max(models, key=lambda p: int(os.path.basename(p).split(".")[0]))
+        return best, int(os.path.basename(best).split(".")[0])
+
+    def _dump_architectures(self, out_dir):
+        """Best-effort per-layer shape/param summaries (the reference wrote
+        nolearn arch diagrams in a bare try/except, pix2pix.py:226-233)."""
+        if not self.verbose:
+            return
+        try:
+            from terrain_tpu.models.core import describe
+
+            for name, net in self.nets.items():
+                with open(os.path.join(out_dir, f"arch_{name}.txt"), "w") as g:
+                    g.write(describe(net, self.params[name], self.states[name]))
+        except Exception:
+            pass
 
     # ---------------------------------------------------------- checkpoints
     def save_model(self, filename):

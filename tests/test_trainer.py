@@ -151,3 +151,37 @@ def test_p2p_mode_trains_without_dcgan_updates(tmp_path):
     m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None, quick_run=True)
     np.testing.assert_array_equal(
         before, np.asarray(m.params["dcgan_gen"]["dense"]["w"]))
+
+
+def test_auto_resume_from_latest(tmp_path):
+    m = tiny_model()
+    it_train, it_val = _iters()
+    out = str(tmp_path / "out")
+    mdl = str(tmp_path / "models")
+    m.train(it_train, it_val, 4, 2, out, mdl, save_every=1, quick_run=True)
+    # auto-resume: picks up 2.model and continues from epoch 3
+    m2 = tiny_model()
+    m2.train(it_train, it_val, 4, 3, out, mdl, save_every=1, quick_run=True,
+             resume="auto")
+    lines = open(os.path.join(out, "results.txt")).read().strip().split("\n")
+    assert lines[-1].split(",")[0] == "3"
+    # fresh dir: auto-resume degrades to a fresh run with a header
+    m3 = tiny_model()
+    out2, mdl2 = str(tmp_path / "o2"), str(tmp_path / "m2")
+    m3.train(it_train, it_val, 4, 1, out2, mdl2, save_every=1,
+             quick_run=True, resume="auto")
+    lines = open(os.path.join(out2, "results.txt")).read().strip().split("\n")
+    assert lines[0].startswith("epoch,") and len(lines) == 2
+
+
+def test_nan_guard(tmp_path, monkeypatch):
+    monkeypatch.setenv("TERRAIN_CHECK_NANS", "1")
+    m = tiny_model()
+    # poison the params so the first step produces NaNs
+    import jax.numpy as jnp
+    m.params["p2p_gen"]["enc"][0]["conv"]["w"] = (
+        m.params["p2p_gen"]["enc"][0]["conv"]["w"] * jnp.nan)
+    it_train, it_val = _iters()
+    with pytest.raises(FloatingPointError):
+        m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None,
+                quick_run=True)
