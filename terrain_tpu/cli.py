@@ -2,7 +2,15 @@
 {train, interp, gen} — the reference's 2-arg interface
 (experiments.py:131: locals()[argv[1]](argv[2]))."""
 
+import os
 import sys
+
+# persistent XLA compilation cache (cold compile of the 512px 4-network
+# step takes minutes; warm launches take seconds)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
 
 from terrain_tpu.experiments import EXPERIMENTS
 

@@ -28,8 +28,21 @@ def upsample_nearest_2x(x):
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
+def _use_pallas():
+    import os
+
+    return os.environ.get("TERRAIN_PALLAS") == "1"
+
+
 def upsample_bilinear_2x(x):
-    """Bilinear x2 with half-pixel centres + edge clamp (layers.py:13-26)."""
+    """Bilinear x2 with half-pixel centres + edge clamp (layers.py:13-26).
+
+    TERRAIN_PALLAS=1 dispatches to the tiled Pallas kernel
+    (ops/pallas/bilinear.py); default is the XLA resize path."""
+    if _use_pallas():
+        from terrain_tpu.ops.pallas.bilinear import bilinear_2x_pallas
+
+        return bilinear_2x_pallas(x)
     n, h, w, c = x.shape
     orig = x.dtype
     out = jax.image.resize(

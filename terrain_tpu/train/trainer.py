@@ -36,7 +36,8 @@ from terrain_tpu.train.losses import TRAIN_KEYS
 from terrain_tpu.train.optim import get_optimizer
 from terrain_tpu.train.schedule import ReduceLROnPlateau
 from terrain_tpu.train.step import ACTIVE, build_eval_step, build_train_step
-from terrain_tpu.utils import convert_to_rgb, plot_grid, save_png, write_image_grid
+from terrain_tpu.utils import compose_imgs, convert_to_rgb, save_png, write_image_grid
+from terrain_tpu.utils.async_writer import AsyncWriter
 
 
 def _floatX(x):
@@ -141,6 +142,24 @@ class TwoStageGAN:
         # the full z -> heightmap -> texture pipeline in ONE XLA program
         self._two_stage_det, self._two_stage_stoch = make_two_stage_sampler(
             self.nets["dcgan_gen"], self.nets["p2p_gen"])
+
+    # ------------------------------------------------------------- artifacts
+    @property
+    def _writer(self):
+        # PNG encode/IO on a worker thread so the TPU keeps stepping (the
+        # reference wrote ~25 images per epoch synchronously in the loop,
+        # pix2pix.py:265-273)
+        w = getattr(self, "_writer_", None)
+        if w is None:
+            w = self._writer_ = AsyncWriter()
+        return w
+
+    def _save_png(self, path, img01):
+        self._writer.submit(save_png, path, img01)
+
+    def flush_artifacts(self):
+        if getattr(self, "_writer_", None) is not None:
+            self._writer_.flush()
 
     # ------------------------------------------------------------------ rng
     def _next_rng(self):
@@ -283,15 +302,19 @@ class TwoStageGAN:
                 self._plot_grid_epoch(it_val, os.path.join(out_dir, f"out_{e + 1}.png"),
                                       batch_size)
                 self.generate_atob(it_train, 1, os.path.join(out_dir, "dump_train"),
-                                   deterministic=False, batch_size=batch_size)
+                                   deterministic=False, batch_size=batch_size,
+                                   flush=False)
                 self.generate_atob(it_val, 1, os.path.join(out_dir, "dump_valid"),
-                                   deterministic=False, batch_size=batch_size)
+                                   deterministic=False, batch_size=batch_size,
+                                   flush=False)
             if self.train_mode in ("both", "dcgan"):
                 self.generate_gz(num_examples=20, batch_size=batch_size,
                                  out_dir=os.path.join(out_dir, "dump_a"),
-                                 deterministic=False)
+                                 deterministic=False, flush=False)
             if model_dir is not None and (e + 1) % save_every == 0:
+                self.flush_artifacts()
                 self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
+        self.flush_artifacts()
         f.close()
 
     # -------------------------------------------------------------- batches
@@ -311,12 +334,32 @@ class TwoStageGAN:
                 yield jnp.asarray(X), jnp.asarray(Y)
 
     def _plot_grid_epoch(self, itr, out_path, batch_size, N=4):
-        gen = self._batches_from(itr, batch_size, N * N)
-        fn = lambda a: np.asarray(
-            self._g_stoch(self.params["p2p_gen"], self.states["p2p_gen"],
-                          jnp.asarray(a), self._next_rng()))
-        plot_grid(out_path, ((np.asarray(x), np.asarray(y)) for x, y in gen),
-                  fn, self.is_a_grayscale, self.is_b_grayscale, N=N)
+        """NxN grid of [A, G_p2p(A)] pairs (reference plot_grid usage,
+        pix2pix.py:267): device work runs here, matplotlib rendering is
+        submitted to the async writer."""
+        imgs = []
+        for X, Y in self._batches_from(itr, batch_size, N * N):
+            bp = self._g_stoch(self.params["p2p_gen"], self.states["p2p_gen"],
+                               X, self._next_rng())
+            imgs.append(compose_imgs(np.asarray(X[0]), np.asarray(bp[0]),
+                                     is_a_grayscale=self.is_a_grayscale,
+                                     is_b_grayscale=self.is_b_grayscale))
+
+        def _render(out_path, imgs, N):
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure(figsize=(10, 6))
+            for i, img in enumerate(imgs):
+                plt.subplot(N, N, i + 1)
+                plt.imshow(img)
+                plt.axis("off")
+            plt.savefig(out_path)
+            plt.close("all")
+
+        self._writer.submit(_render, out_path, imgs, N)
 
     def _latest_checkpoint(self, model_dir):
         """Newest <epoch>.model under model_dir, or (False, 0) if none."""
@@ -374,7 +417,7 @@ class TwoStageGAN:
         return self._g_stoch(p, s, x, self._next_rng())
 
     def generate_atob(self, itr, num_batches, out_dir, dont_predict=False,
-                      deterministic=True, batch_size=4):
+                      deterministic=True, batch_size=4, flush=True):
         """Dump full-res [A, predict(A)] pairs as <i>.a.png / <i>.b.png
         (reference pix2pix.py:276-305)."""
         os.makedirs(out_dir, exist_ok=True)
@@ -383,13 +426,16 @@ class TwoStageGAN:
             pred = Y if dont_predict else self._gen_fn(X, deterministic)
             X, pred = np.asarray(X), np.asarray(pred)
             for i in range(pred.shape[0]):
-                save_png(os.path.join(out_dir, f"{ctr}.a.png"),
-                         convert_to_rgb(X[i], is_grayscale=self.is_a_grayscale))
-                save_png(os.path.join(out_dir, f"{ctr}.b.png"),
-                         convert_to_rgb(pred[i], is_grayscale=self.is_b_grayscale))
+                self._save_png(os.path.join(out_dir, f"{ctr}.a.png"),
+                               convert_to_rgb(X[i], is_grayscale=self.is_a_grayscale))
+                self._save_png(os.path.join(out_dir, f"{ctr}.b.png"),
+                               convert_to_rgb(pred[i], is_grayscale=self.is_b_grayscale))
                 ctr += 1
+        if flush:
+            self.flush_artifacts()
 
-    def generate_gz(self, num_examples, batch_size, out_dir, deterministic=True):
+    def generate_gz(self, num_examples, batch_size, out_dir,
+                    deterministic=True, flush=True):
         """Dump DCGAN samples G(z) as <i>.png (reference pix2pix.py:306-326)."""
         os.makedirs(out_dir, exist_ok=True)
         z = _floatX(self.sampler(num_examples, self.latent_dim))
@@ -398,9 +444,11 @@ class TwoStageGAN:
             out = np.asarray(self._z_fn(z[b * batch_size:(b + 1) * batch_size],
                                         deterministic))
             for i in range(out.shape[0]):
-                save_png(os.path.join(out_dir, f"{ctr}.png"),
-                         convert_to_rgb(out[i], is_grayscale=self.is_a_grayscale))
+                self._save_png(os.path.join(out_dir, f"{ctr}.png"),
+                               convert_to_rgb(out[i], is_grayscale=self.is_a_grayscale))
                 ctr += 1
+        if flush:
+            self.flush_artifacts()
 
     def generate_interpolation(self, out_name, zsample1=None, zsample2=None,
                                deterministic=True, mode="row", figsize=(10, 10),
@@ -457,8 +505,9 @@ class TwoStageGAN:
                 d = f"{ctr:04d}"
                 if concat:
                     full = np.concatenate([a_rgb, b_rgb], axis=1)
-                    save_png(os.path.join(out_dir, f"concat_{d}.png"), full)
+                    self._save_png(os.path.join(out_dir, f"concat_{d}.png"), full)
                 else:
-                    save_png(os.path.join(out_dir, f"a_{d}.png"), a_rgb)
-                    save_png(os.path.join(out_dir, f"b_{d}.png"), b_rgb)
+                    self._save_png(os.path.join(out_dir, f"a_{d}.png"), a_rgb)
+                    self._save_png(os.path.join(out_dir, f"b_{d}.png"), b_rgb)
                 ctr += 1
+        self.flush_artifacts()

@@ -1,0 +1,68 @@
+"""Eval metrics (SWD pyramid) + image utility tests."""
+
+import numpy as np
+import pytest
+
+from terrain_tpu.data.synthetic import make_pairs
+from terrain_tpu.eval import swd_pyramid
+from terrain_tpu.utils import compose_imgs, convert_to_rgb
+from terrain_tpu.utils.async_writer import AsyncWriter
+
+
+def test_swd_zero_for_identical_sets():
+    x, _ = make_pairs(8, 32, seed=0)
+    a = x.astype(np.float32) / 255.0
+    out = swd_pyramid(a, a, n_levels=2)
+    assert out["swd_mean"] < 1e-5
+
+
+def test_swd_discriminates_noise_from_structure():
+    x, _ = make_pairs(8, 32, seed=0)
+    real = x.astype(np.float32) / 255.0
+    fake_noise = np.random.RandomState(0).rand(8, 32, 32, 1).astype(np.float32)
+    x2, _ = make_pairs(8, 32, seed=3)
+    fake_similar = x2.astype(np.float32) / 255.0
+    d_noise = swd_pyramid(real, fake_noise, n_levels=2)["swd_mean"]
+    d_similar = swd_pyramid(real, fake_similar, n_levels=2)["swd_mean"]
+    assert d_noise > d_similar > 0
+
+
+def test_convert_to_rgb_ranges():
+    gray = np.random.RandomState(0).rand(8, 8, 1).astype(np.float32)
+    rgb = convert_to_rgb(gray, is_grayscale=True)
+    assert rgb.shape == (8, 8, 3)
+    np.testing.assert_allclose(rgb[..., 0], rgb[..., 1])
+    color = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32) * 2 - 1
+    out = convert_to_rgb(color, is_grayscale=False)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    np.testing.assert_allclose(out, np.clip((color * 127.5 + 127.5) / 255.0, 0, 1),
+                               rtol=1e-5)
+    with pytest.raises(ValueError):
+        convert_to_rgb(np.zeros((8, 8)), True)
+    with pytest.raises(ValueError):
+        convert_to_rgb(np.zeros((8, 8, 2)), True)
+
+
+def test_compose_imgs_side_by_side():
+    a = np.zeros((4, 4, 1), np.float32)
+    b = np.ones((4, 4, 3), np.float32)
+    out = compose_imgs(a, b, is_a_grayscale=True, is_b_grayscale=False)
+    assert out.shape == (4, 8, 3)
+    assert out[:, :4].max() == 0.0 and out[:, 4:].min() == 1.0
+
+
+def test_async_writer_runs_and_surfaces_errors(tmp_path):
+    w = AsyncWriter()
+    hits = []
+    w.submit(hits.append, 1)
+    w.submit(hits.append, 2)
+    w.flush()
+    assert hits == [1, 2]
+
+    def boom():
+        raise RuntimeError("io failed")
+
+    w.submit(boom)
+    with pytest.raises(RuntimeError):
+        w.flush()
+    w.close()
