@@ -22,14 +22,17 @@ import time
 import numpy as np
 
 os.environ.setdefault("TERRAIN_DTYPE", os.environ.get("BENCH_DTYPE", "bf16"))
-# persistent XLA compilation cache: the 4-network 512px step compiles in
-# minutes cold, seconds warm
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp
+
+# persistent XLA compilation cache: the 4-network 512px step compiles in
+# minutes cold, seconds warm.  jax is already imported by the image's
+# sitecustomize, so configure through jax.config, not env.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def main():

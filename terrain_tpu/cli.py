@@ -6,11 +6,16 @@ import os
 import sys
 
 # persistent XLA compilation cache (cold compile of the 512px 4-network
-# step takes minutes; warm launches take seconds)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"))
+# step takes minutes; warm launches take seconds).  The runtime image's
+# sitecustomize imports jax at interpreter startup, so env vars are too
+# late here — set it through jax.config.
+import jax
+
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
 
 from terrain_tpu.experiments import EXPERIMENTS
 

@@ -34,8 +34,14 @@ def save_model(filename, params, states, extra=None):
         }
     if extra is not None:
         payload["extra"] = _to_numpy(extra)
-    with gzip.open(filename, "wb") as f:
+    # atomic write: a crash mid-save must never leave a corrupt checkpoint
+    # (SURVEY.md §5 failure-recovery; pairs with trainer resume='auto')
+    tmp = f"{filename}.tmp"
+    with gzip.open(tmp, "wb") as f:
         pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+    import os
+
+    os.replace(tmp, filename)
 
 
 def load_model(filename, params, states, mode="both"):

@@ -266,6 +266,9 @@ class TwoStageGAN:
             self.load_model(resume)
         check_nans = os.environ.get("TERRAIN_CHECK_NANS") == "1"
         profile_dir = os.environ.get("TERRAIN_PROFILE")
+        # optional per-epoch sample-quality tracking (SWD pyramid between
+        # real heightmaps and G(z) samples) -> <out_dir>/swd.txt
+        track_swd = os.environ.get("TERRAIN_SWD") == "1"
         # constructed but default-off, like the reference (pix2pix.py:242)
         cb = ReduceLROnPlateau(verbose=self.verbose) if reduce_on_plateau else None
         for e in range(start_epoch, num_epochs):
@@ -311,11 +314,32 @@ class TwoStageGAN:
                 self.generate_gz(num_examples=20, batch_size=batch_size,
                                  out_dir=os.path.join(out_dir, "dump_a"),
                                  deterministic=False, flush=False)
+            if track_swd and self.train_mode in ("both", "dcgan"):
+                self._log_swd(it_val, out_dir, e + 1, batch_size)
             if model_dir is not None and (e + 1) % save_every == 0:
                 self.flush_artifacts()
                 self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
         self.flush_artifacts()
         f.close()
+
+    def _log_swd(self, it_val, out_dir, epoch, batch_size, n=16):
+        """Append SWD-pyramid (real heightmaps vs G(z)) to <out_dir>/swd.txt."""
+        from terrain_tpu.eval import swd_pyramid
+
+        reals = [np.asarray(X) for X, _ in self._batches_from(
+            it_val, batch_size, max(n // batch_size, 1))]
+        real = np.concatenate(reals)[:n]
+        z = _floatX(self.sampler(real.shape[0], self.latent_dim))
+        fake = np.asarray(self._z_fn(z, deterministic=True))
+        levels = max(1, min(3, int(np.log2(self.in_shp)) - 3))
+        out = swd_pyramid(real, fake, seed=epoch, n_levels=levels)
+        path = os.path.join(out_dir, "swd.txt")
+        fresh = not os.path.exists(path)
+        with open(path, "a") as g:
+            if fresh:
+                g.write("epoch," + ",".join(sorted(out)) + "\n")
+            g.write(f"{epoch}," + ",".join(
+                repr(out[k]) for k in sorted(out)) + "\n")
 
     # -------------------------------------------------------------- batches
     def _batches_from(self, itr, batch_size, n):

@@ -181,3 +181,22 @@ def test_bf16_conv_accumulates_fp32(rng):
         conv2d(jnp.array(x), jnp.array(w), padding="same", compute_dtype=jnp.bfloat16).astype(jnp.float32)
     )
     assert np.abs(bf - f32).max() < 0.15  # bf16 mantissa, fp32 accumulate
+
+
+def test_gaussian_blur_matches_scipy(rng):
+    from terrain_tpu.ops.blur import gaussian_blur, gaussian_kernel_1d
+
+    x = rng.randn(1, 16, 16, 2).astype(np.float32)
+    got = np.asarray(gaussian_blur(jnp.array(x), sigma=1.0, ksize=5))
+    k = gaussian_kernel_1d(5, 1.0)
+    k2 = np.outer(k, k)
+    from scipy.signal import convolve2d
+
+    want = np.zeros_like(x)
+    for c in range(2):
+        # symmetric kernel: correlation == convolution; zero 'same' padding
+        want[0, :, :, c] = convolve2d(x[0, :, :, c], k2, mode="same")
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # blurring reduces total variation
+    tv = lambda a: np.abs(np.diff(a, axis=1)).sum()
+    assert tv(got) < tv(x)

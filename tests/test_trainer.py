@@ -185,3 +185,15 @@ def test_nan_guard(tmp_path, monkeypatch):
     with pytest.raises(FloatingPointError):
         m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None,
                 quick_run=True)
+
+
+def test_swd_tracking_hook(tmp_path, monkeypatch):
+    monkeypatch.setenv("TERRAIN_SWD", "1")
+    m = tiny_model()
+    it_train, it_val = _iters()
+    out = str(tmp_path / "o")
+    m.train(it_train, it_val, 4, 1, out, None, quick_run=True)
+    lines = open(os.path.join(out, "swd.txt")).read().strip().split("\n")
+    assert lines[0].startswith("epoch,swd_level0")
+    assert lines[1].split(",")[0] == "1"
+    assert all(np.isfinite(float(v)) for v in lines[1].split(",")[1:])
