@@ -5,7 +5,9 @@ from terrain_tpu.parallel.mesh import (
     make_mesh,
     place,
     replicated,
+    spatial_batch_sharding,
     tp_shardings,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "tp_shardings", "place"]
+__all__ = ["make_mesh", "batch_sharding", "spatial_batch_sharding",
+           "replicated", "tp_shardings", "place"]

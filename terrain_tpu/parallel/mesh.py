@@ -38,6 +38,17 @@ def batch_sharding(mesh):
     return NamedSharding(mesh, P("data"))
 
 
+def spatial_batch_sharding(mesh):
+    """Shard batch over 'data' AND image rows (H) over 'model' — spatial
+    parallelism for the conv nets.  XLA inserts the halo exchanges
+    (collective-permutes) that stride-1/2 convs need at shard boundaries;
+    BN's batch statistics reduce across both axes, so the math is identical
+    to the unsharded step (verified in tests/test_parallel.py).  This is the
+    scaling axis for resolutions whose activations outgrow one chip's HBM
+    (the reference's scaling axis is spatial resolution, SURVEY.md §5)."""
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def replicated(mesh):
     return NamedSharding(mesh, P())
 

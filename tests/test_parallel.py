@@ -116,3 +116,22 @@ def test_entry_returns_jittable_flagship():
     out = jax.eval_shape(fn, *args)
     assert out[0].shape == (1, 512, 512, 1)
     assert out[1].shape == (1, 512, 512, 3)
+
+
+def test_spatial_parallel_matches_unsharded():
+    """H-dim (spatial) sharding over 'model' + batch over 'data': XLA's
+    halo exchanges must reproduce the unsharded forward exactly."""
+    from terrain_tpu.parallel import replicated, spatial_batch_sharding
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    net = p2p.g_unet(32, True, False, nf=4)
+    params, state = net.init(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).rand(4, 32, 32, 1).astype(np.float32)
+    xd = jax.device_put(x, spatial_batch_sharding(mesh))
+    rep = replicated(mesh)
+    params_d = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+    state_d = jax.tree.map(lambda a: jax.device_put(a, rep), state)
+    f = jax.jit(lambda p, s, x: net.apply(p, s, x, train=True)[0])
+    out_sp = np.asarray(f(params_d, state_d, xd))
+    out_ref = np.asarray(f(params, state, jnp.asarray(x)))
+    np.testing.assert_allclose(out_sp, out_ref, rtol=1e-4, atol=1e-5)
