@@ -173,8 +173,11 @@ class TwoStageGAN:
 
     # ---------------------------------------------------------------- steps
     def _get_cache_steps(self, ds):
+        # keep a strong ref to ds in the entry: id() alone could be reused
+        # by a new dataset after the old one is garbage-collected
         key = id(ds)
-        if key not in self._cache_steps:
+        entry = self._cache_steps.get(key)
+        if entry is None or entry[0] is not ds:
             prepare = ds.make_prepare(augment=self.da)
             kw = dict(alpha=self.alpha, lsgan=self.lsgan,
                       reconstruction=self.reconstruction)
@@ -183,8 +186,9 @@ class TwoStageGAN:
                                  train_mode=self.train_mode, prepare=prepare, **kw),
                 donate_argnums=(0, 1, 2))
             ev = jax.jit(build_eval_step(self.nets, prepare=prepare, **kw))
-            self._cache_steps[key] = (tr, ev)
-        return self._cache_steps[key]
+            entry = (ds, tr, ev)
+            self._cache_steps[key] = entry
+        return entry[1], entry[2]
 
     def _put_batch(self, x):
         """Place a batch array, sharding the leading dim when on a mesh."""
@@ -332,7 +336,9 @@ class TwoStageGAN:
         z = _floatX(self.sampler(real.shape[0], self.latent_dim))
         fake = np.asarray(self._z_fn(z, deterministic=True))
         levels = max(1, min(3, int(np.log2(self.in_shp)) - 3))
-        out = swd_pyramid(real, fake, seed=epoch, n_levels=levels)
+        # fixed seed: same projections/patches every epoch so the trend is
+        # comparable across epochs
+        out = swd_pyramid(real, fake, seed=0, n_levels=levels)
         path = os.path.join(out_dir, "swd.txt")
         fresh = not os.path.exists(path)
         with open(path, "a") as g:
