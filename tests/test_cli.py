@@ -29,3 +29,37 @@ def test_missing_dataset_raises(monkeypatch, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="TERRAIN_DATA"):
         _get_data(64)
+
+
+def test_get_data_synthetic_paths(monkeypatch):
+    from terrain_tpu.data import DeviceDataset, Hdf5Iterator
+    from terrain_tpu.experiments import _get_data
+
+    monkeypatch.setenv("TERRAIN_SYNTHETIC", "1")
+    monkeypatch.setenv("TERRAIN_N", "8")
+    monkeypatch.delenv("TERRAIN_FAST", raising=False)
+    tr, va = _get_data(16)
+    assert isinstance(tr, Hdf5Iterator) and tr.N == 8
+    monkeypatch.setenv("TERRAIN_FAST", "1")
+    tr, va = _get_data(16)
+    assert isinstance(tr, DeviceDataset) and tr.N == 8 and va.N >= 4
+
+
+def test_get_data_raster_path(monkeypatch, tmp_path):
+    import imageio.v3 as iio
+    import numpy as np
+
+    hm = np.random.RandomState(0).randint(1, 255, (128, 256)).astype(np.uint8)
+    tex = np.random.RandomState(1).randint(0, 255, (128, 256, 3)).astype(np.uint8)
+    hp, tp = str(tmp_path / "h.png"), str(tmp_path / "t.png")
+    iio.imwrite(hp, hm)
+    iio.imwrite(tp, tex)
+    monkeypatch.delenv("TERRAIN_SYNTHETIC", raising=False)
+    monkeypatch.setenv("TERRAIN_RASTER", f"{hp},{tp}")
+    monkeypatch.setenv("TERRAIN_BS", "2")
+    monkeypatch.setenv("TERRAIN_EPOCH_CROPS", "4")
+    from terrain_tpu.experiments import _get_data
+
+    tr, va = _get_data(64)
+    X, Y = next(tr)
+    assert X.shape == (2, 64, 64, 1) and Y.shape == (2, 64, 64, 3)
