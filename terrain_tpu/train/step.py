@@ -45,6 +45,19 @@ ACTIVE = {
 _sg = jax.lax.stop_gradient
 
 
+def _tree_has_bn(params):
+    """True if any node in the param tree is a BatchNorm block."""
+    found = []
+
+    def visit(path, leaf):
+        if any(getattr(k, "key", None) == "bn" for k in path):
+            found.append(True)
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return bool(found)
+
+
 def forward_losses(nets, params, states, Z, X, Y, rng, *, alpha, lsgan,
                    reconstruction, train):
     """Shared forward for all four networks; returns (losses, new_states).
@@ -52,9 +65,17 @@ def forward_losses(nets, params, states, Z, X, Y, rng, *, alpha, lsgan,
     losses is a dict over TRAIN_KEYS; new_states mirrors `states`.
     Gradient partitioning (the sg() calls) reproduces the reference's four
     independent optimizer update dicts (pix2pix.py:131-141).
+
+    When a discriminator is BatchNorm-free (every shipped experiment,
+    experiments.py:29,33: bn=False) its real and fake-d-path forwards are
+    *batched into one call* on the concatenated batch — per-sample ops make
+    this bit-identical to two separate calls, while halving the kernel
+    count, which matters in the occupancy-bound small-batch regime.  With
+    BN the batch statistics would couple the passes, so batching is skipped.
     """
     r = {n: jax.random.fold_in(rng, i) for i, n in enumerate(NET_NAMES)}
     adv = partial(adv_loss, lsgan=lsgan)
+    n = X.shape[0]
 
     # --- stage 1: DCGAN (z -> A) ---------------------------------------
     a_fake, ns_gd = nets["dcgan_gen"].apply(
@@ -63,12 +84,20 @@ def forward_losses(nets, params, states, Z, X, Y, rng, *, alpha, lsgan,
     d_fake_gpath, _ = nets["dcgan_disc"].apply(
         _sg(params["dcgan_disc"]), states["dcgan_disc"], a_fake,
         train=train, rng=r["dcgan_disc"])
-    # discriminator loss: fake batch is a constant
-    d_real, _ = nets["dcgan_disc"].apply(
-        params["dcgan_disc"], states["dcgan_disc"], X, train=train, rng=r["dcgan_disc"])
-    d_fake_dpath, ns_dd = nets["dcgan_disc"].apply(
-        params["dcgan_disc"], states["dcgan_disc"], _sg(a_fake),
-        train=train, rng=r["dcgan_disc"])
+    if _tree_has_bn(params["dcgan_disc"]):
+        # discriminator loss: fake batch is a constant
+        d_real, _ = nets["dcgan_disc"].apply(
+            params["dcgan_disc"], states["dcgan_disc"], X,
+            train=train, rng=r["dcgan_disc"])
+        d_fake_dpath, ns_dd = nets["dcgan_disc"].apply(
+            params["dcgan_disc"], states["dcgan_disc"], _sg(a_fake),
+            train=train, rng=r["dcgan_disc"])
+    else:
+        d_both, ns_dd = nets["dcgan_disc"].apply(
+            params["dcgan_disc"], states["dcgan_disc"],
+            jnp.concatenate([X, _sg(a_fake)], axis=0),
+            train=train, rng=r["dcgan_disc"])
+        d_real, d_fake_dpath = d_both[:n], d_both[n:]
     gen_loss_dcgan = adv(d_fake_gpath, 1.0)
     disc_loss_dcgan = adv(d_real, 1.0) + adv(d_fake_dpath, 0.0)
 
@@ -78,11 +107,20 @@ def forward_losses(nets, params, states, Z, X, Y, rng, *, alpha, lsgan,
     p_fake_gpath, _ = nets["p2p_disc"].apply(
         _sg(params["p2p_disc"]), states["p2p_disc"], X, b_fake,
         train=train, rng=r["p2p_disc"])
-    p_real, _ = nets["p2p_disc"].apply(
-        params["p2p_disc"], states["p2p_disc"], X, Y, train=train, rng=r["p2p_disc"])
-    p_fake_dpath, ns_dp = nets["p2p_disc"].apply(
-        params["p2p_disc"], states["p2p_disc"], X, _sg(b_fake),
-        train=train, rng=r["p2p_disc"])
+    if _tree_has_bn(params["p2p_disc"]):
+        p_real, _ = nets["p2p_disc"].apply(
+            params["p2p_disc"], states["p2p_disc"], X, Y,
+            train=train, rng=r["p2p_disc"])
+        p_fake_dpath, ns_dp = nets["p2p_disc"].apply(
+            params["p2p_disc"], states["p2p_disc"], X, _sg(b_fake),
+            train=train, rng=r["p2p_disc"])
+    else:
+        p_both, ns_dp = nets["p2p_disc"].apply(
+            params["p2p_disc"], states["p2p_disc"],
+            jnp.concatenate([X, X], axis=0),
+            jnp.concatenate([Y, _sg(b_fake)], axis=0),
+            train=train, rng=r["p2p_disc"])
+        p_real, p_fake_dpath = p_both[:n], p_both[n:]
     gen_loss_p2p = adv(p_fake_gpath, 1.0)
     recon = reconstruction_loss(b_fake, Y, kind=reconstruction)
     disc_loss_p2p = adv(p_real, 1.0) + adv(p_fake_dpath, 0.0)

@@ -187,3 +187,37 @@ def test_bn_state_advances_in_train_step():
     before = states["dcgan_gen"]["bn_in"]["mean"]
     after = new_states["dcgan_gen"]["bn_in"]["mean"]
     assert float(jnp.max(jnp.abs(after - before))) > 0
+
+
+def test_batched_disc_passes_match_unbatched(monkeypatch):
+    """BN-free discs take the batched real+fake path; it must match the
+    two-separate-calls formulation exactly (losses and gradients)."""
+    import terrain_tpu.train.step as step_mod
+
+    nets = _tiny_nets()
+    params, states = _init_all(nets)
+    Z, X, Y = _batch()
+    rng = jax.random.PRNGKey(7)
+    kw = dict(alpha=100.0, lsgan=True, reconstruction="l1", train=True)
+
+    losses_batched, _ = forward_losses(nets, params, states, Z, X, Y, rng, **kw)
+    monkeypatch.setattr(step_mod, "_tree_has_bn", lambda p: True)  # force split
+    losses_split, _ = forward_losses(nets, params, states, Z, X, Y, rng, **kw)
+    for k in TRAIN_KEYS:
+        np.testing.assert_allclose(float(losses_batched[k]),
+                                   float(losses_split[k]), rtol=1e-5)
+
+    def grads_of(fwd_losses):
+        def total(p):
+            ls, _ = fwd_losses(nets, {**params, **p}, states, Z, X, Y, rng, **kw)
+            return (ls["dcgan_gen"] + ls["dcgan_disc"] + ls["p2p_gen"]
+                    + 100.0 * ls["p2p_recon"] + ls["p2p_disc"])
+        return jax.grad(total)({n: params[n] for n in nets})
+
+    g_split = grads_of(forward_losses)
+    monkeypatch.undo()
+    g_batched = grads_of(forward_losses)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        g_batched, g_split)
