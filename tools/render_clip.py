@@ -23,7 +23,17 @@ def main():
     files = sorted(glob.glob(os.path.join(args.frames_dir, args.pattern)))
     if not files:
         raise SystemExit(f"no frames matching {args.pattern} in {args.frames_dir}")
-    frames = [iio.imread(f) for f in files]
+    frames = []
+    skipped = 0
+    for f in files:
+        try:
+            frames.append(iio.imread(f))
+        except Exception:  # truncated frame from an interrupted run
+            skipped += 1
+    if skipped:
+        print(f"skipped {skipped} unreadable frame(s)")
+    if not frames:
+        raise SystemExit("no readable frames")
     if args.out.endswith(".gif"):
         iio.imwrite(args.out, frames, duration=1000 // args.fps, loop=0)
     else:
