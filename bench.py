@@ -56,7 +56,7 @@ def main():
         idx = jnp.asarray(rnd.randint(0, ds.N, size=bs).astype(np.int32))
         rng = jax.random.fold_in(jax.random.PRNGKey(7), t)
         return tr_step(model.params, model.states, model.opt_states,
-                       (Z, idx), rng, jnp.float32(1e-4))
+                       ds.batch_args(Z, idx), rng, jnp.float32(1e-4))
 
     # warmup/compile
     for t in range(3):

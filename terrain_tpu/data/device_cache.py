@@ -38,20 +38,39 @@ class DeviceDataset:
 
     def gather_normalize(self, idx):
         """In-graph: (bs,) int32 -> (X, Y) float32 NHWC, normalized."""
-        xs = jnp.take(self.x, idx, axis=0).astype(jnp.float32)
-        ys = jnp.take(self.y, idx, axis=0).astype(jnp.float32)
-        xs = xs / 255.0 if self.is_a_grayscale else (xs - 127.5) / 127.5
-        ys = ys / 255.0 if self.is_b_grayscale else (ys - 127.5) / 127.5
-        return xs, ys
+        return gather_normalize(self.x, self.y, idx,
+                                self.is_a_grayscale, self.is_b_grayscale)
+
+    def batch_args(self, Z, idx):
+        """The train-step batch tuple for this dataset's prepare fn."""
+        return (Z, idx, self.x, self.y)
 
     def make_prepare(self, augment=True):
-        """Returns prepare((Z, idx), rng) -> (Z, X, Y) for the train step."""
+        """Returns prepare((Z, idx, x_u8, y_u8), rng) -> (Z, X, Y).
+
+        The dataset arrays travel as jit ARGUMENTS, not closure captures:
+        a captured device array becomes an HLO constant, which bakes the
+        whole (hundreds-of-MB) dataset into the compiled executable, blows
+        up the compilation cache, and re-compiles whenever the data values
+        change.  As arguments they stay resident on device and the compiled
+        step is dataset-independent (only shapes matter).
+        """
+        is_a, is_b = self.is_a_grayscale, self.is_b_grayscale
 
         def prepare(batch, rng):
-            Z, idx = batch
-            X, Y = self.gather_normalize(idx)
+            Z, idx, x_u8, y_u8 = batch
+            X, Y = gather_normalize(x_u8, y_u8, idx, is_a, is_b)
             if augment:
                 X, Y = augment_pair(jax.random.fold_in(rng, 0x5eed), X, Y)
             return Z, X, Y
 
         return prepare
+
+
+def gather_normalize(x_u8, y_u8, idx, is_a_grayscale, is_b_grayscale):
+    """(N,...) uint8 pair + (bs,) int32 -> normalized float32 batch."""
+    xs = jnp.take(x_u8, idx, axis=0).astype(jnp.float32)
+    ys = jnp.take(y_u8, idx, axis=0).astype(jnp.float32)
+    xs = xs / 255.0 if is_a_grayscale else (xs - 127.5) / 127.5
+    ys = ys / 255.0 if is_b_grayscale else (ys - 127.5) / 127.5
+    return xs, ys

@@ -207,7 +207,8 @@ class TwoStageGAN:
         if isinstance(itr, DeviceDataset):
             tr_step, ev_step = self._get_cache_steps(itr)
             for idx in epoch_index_schedule(itr.N, batch_size, self._sched_rnd):
-                batch = (self._sample_z(batch_size), self._put_batch(idx))
+                batch = itr.batch_args(self._sample_z(batch_size),
+                                       self._put_batch(idx))
                 rng = self._next_rng()
                 if train:
                     (self.params, self.states, self.opt_states, losses) = tr_step(

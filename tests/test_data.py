@@ -97,7 +97,8 @@ def test_device_cache_prepare_shapes():
     prep = ds.make_prepare(augment=True)
     Z = jnp.zeros((3, 8))
     idx = jnp.array([0, 1, 2], dtype=jnp.int32)
-    Z2, X, Y = jax.jit(prep)((Z, idx), jax.random.PRNGKey(0))
+    # dataset arrays travel as jit arguments (not closure constants)
+    Z2, X, Y = jax.jit(prep)(ds.batch_args(Z, idx), jax.random.PRNGKey(0))
     assert Z2.shape == (3, 8) and X.shape == (3, 16, 16, 1) and Y.shape == (3, 16, 16, 3)
     assert float(X.min()) >= 0.0 and float(X.max()) <= 1.0
 

@@ -96,8 +96,8 @@ def test_dp_tp_mesh_trains_device_cache():
     Z = m._sample_z(bs)
     idx = m._put_batch(np.arange(bs, dtype=np.int32))
     params, states, opt_states, losses = tr_step(
-        m.params, m.states, m.opt_states, (Z, idx), jax.random.PRNGKey(0),
-        jnp.float32(1e-4))
+        m.params, m.states, m.opt_states, ds.batch_args(Z, idx),
+        jax.random.PRNGKey(0), jnp.float32(1e-4))
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
 
