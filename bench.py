@@ -58,15 +58,18 @@ def main():
         return tr_step(model.params, model.states, model.opt_states,
                        ds.batch_args(Z, idx), rng, jnp.float32(1e-4))
 
-    # warmup/compile
+    # warmup/compile.  IMPORTANT: on the axon remote runtime
+    # jax.block_until_ready returns before execution (and even before the
+    # lazy remote compile) — only a value fetch truly synchronizes, so the
+    # fences here are scalar float() reads.
     for t in range(3):
         model.params, model.states, model.opt_states, losses = one_step(t)
-    jax.block_until_ready(losses)
+    float(losses["p2p_recon"])
 
     t0 = time.perf_counter()
     for t in range(n_steps):
         model.params, model.states, model.opt_states, losses = one_step(100 + t)
-    jax.block_until_ready(losses)
+    float(losses["p2p_recon"])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = bs * n_steps / dt
