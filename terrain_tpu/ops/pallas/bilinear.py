@@ -72,10 +72,18 @@ def _pick_tile(dim, target, align=8):
 # (64-tiles ran out of VMEM on real hardware)
 TILE = 32
 
+# Regime guard from real-TPU measurement (docs/RESULTS_r1.md): the kernel
+# beats XLA resize on large-spatial inputs (e.g. 1.29x at 256x256x128) but
+# collapses when the grid degenerates into many small programs with
+# serialized halo DMAs (10x slower at 64x64x512).  Require enough spatial
+# extent per channel block that each program does meaningful work.
+MIN_SPATIAL = 128
+
 
 def pallas_supported(shape, dtype=jnp.float32):
     n, h, w, c = shape
-    return (_pick_tile(h, TILE) and _pick_tile(w, TILE)
+    return (h >= MIN_SPATIAL and w >= MIN_SPATIAL
+            and _pick_tile(h, TILE) and _pick_tile(w, TILE)
             and c % 128 == 0 and dtype == jnp.float32)
 
 
