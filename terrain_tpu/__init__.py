@@ -19,3 +19,16 @@ Design (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "TwoStageGAN":
+        from terrain_tpu.train.trainer import TwoStageGAN
+
+        return TwoStageGAN
+    if name == "EXPERIMENTS":
+        from terrain_tpu.experiments import EXPERIMENTS
+
+        return EXPERIMENTS
+    raise AttributeError(name)

@@ -135,3 +135,19 @@ def test_spatial_parallel_matches_unsharded():
     out_sp = np.asarray(f(params_d, state_d, xd))
     out_ref = np.asarray(f(params, state, jnp.asarray(x)))
     np.testing.assert_allclose(out_sp, out_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_helpers_single_process():
+    from terrain_tpu.parallel.distributed import host_batch_slice, initialize
+
+    pid, pcount = initialize()  # no coordinator -> single-process fallback
+    assert pid == 0 and pcount == 1
+    assert host_batch_slice(32) == slice(0, 32)
+    assert host_batch_slice(32, process_index=2, process_count=4) == slice(16, 24)
+
+
+def test_top_level_exports():
+    import terrain_tpu
+
+    assert callable(terrain_tpu.TwoStageGAN)
+    assert "test1_nobn_bilin_both" in terrain_tpu.EXPERIMENTS
