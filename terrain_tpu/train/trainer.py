@@ -202,11 +202,20 @@ class TwoStageGAN:
     def _run_epoch(self, itr, batch_size, *, train, quick_run=False):
         """One pass over `itr` (host iterator or DeviceDataset); returns the
         mean of each loss.  Fixes the reference bug of always reading
-        it_train in the valid loop (pix2pix.py:201-207)."""
+        it_train in the valid loop (pix2pix.py:201-207).
+
+        TERRAIN_EVAL_STEPS caps the eval pass (the reference evaluates the
+        full train-set-sized split every epoch, ~45% of epoch wall-clock;
+        default off = full parity)."""
         recs = []
+        cap = None
+        if not train:
+            v = os.environ.get("TERRAIN_EVAL_STEPS")
+            cap = int(v) if v else None
         if isinstance(itr, DeviceDataset):
             tr_step, ev_step = self._get_cache_steps(itr)
-            for idx in epoch_index_schedule(itr.N, batch_size, self._sched_rnd):
+            sched = epoch_index_schedule(itr.N, batch_size, self._sched_rnd)
+            for idx in (sched[:cap] if cap else sched):
                 batch = itr.batch_args(self._sample_z(batch_size),
                                        self._put_batch(idx))
                 rng = self._next_rng()
@@ -220,7 +229,10 @@ class TwoStageGAN:
                 if quick_run:
                     break
         else:
-            for _ in range(itr.N // batch_size):
+            n_steps = itr.N // batch_size
+            if cap:
+                n_steps = min(n_steps, cap)
+            for _ in range(n_steps):
                 X, Y = next(itr)
                 batch = (self._sample_z(X.shape[0]), self._put_batch(X),
                          self._put_batch(Y))

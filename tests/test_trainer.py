@@ -197,3 +197,42 @@ def test_swd_tracking_hook(tmp_path, monkeypatch):
     assert lines[0].startswith("epoch,swd_level0")
     assert lines[1].split(",")[0] == "1"
     assert all(np.isfinite(float(v)) for v in lines[1].split(",")[1:])
+
+
+def test_eval_steps_cap(tmp_path, monkeypatch):
+    monkeypatch.setenv("TERRAIN_EVAL_STEPS", "1")
+    m = tiny_model()
+    it_train, it_val = _iters(n=16, bs=4)  # 4 steps/epoch normally
+    calls = {"n": 0}
+    orig = m._eval_step
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    m._eval_step = counting
+    m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None)
+    assert calls["n"] == 1  # capped, train pass unaffected
+
+
+def test_fake_network_plumbing(tmp_path):
+    """The reference's 1-conv debug nets (p2p.py:314-325) smoke-test the
+    trainer plumbing cheaply; adapters map their (is_a, is_b) signatures to
+    the factory contract."""
+    from terrain_tpu.models.unet import fake_discriminator, fake_generator
+
+    m = TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 8, "h": 3, "initial_size": 4,
+                          "final_size": IN, "div": [2, 2]},
+        disc_params_dcgan={"nch": IN, "h": 3, "div": [4, 2], "bn": False,
+                           "nonlinearity": "linear"},
+        gen_fn_p2p=lambda in_shp, a, b, **kw: fake_generator(a, b, in_shp=in_shp, **kw),
+        disc_fn_p2p=lambda in_shp, a, b, **kw: fake_discriminator(a, b, in_shp=in_shp, **kw),
+        gen_params_p2p={}, disc_params_p2p={},
+        in_shp=IN, latent_dim=LAT, is_a_grayscale=True, is_b_grayscale=False,
+        lsgan=True, opt="rmsprop", opt_args={"learning_rate": 1e-4},
+        train_mode="p2p", verbose=False)
+    it_train, it_val = _iters()
+    m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None, quick_run=True)
