@@ -11,9 +11,6 @@ Lasagne's pad='same' pads symmetrically even for strided convs
 (asymmetric low/high split for even inputs), so we never use the string form.
 """
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -30,7 +30,6 @@ from functools import lru_cache
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from terrain_tpu.ops.conv import conv2d
 
