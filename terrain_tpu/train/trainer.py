@@ -286,6 +286,9 @@ class TwoStageGAN:
         # optional per-epoch sample-quality tracking (SWD pyramid between
         # real heightmaps and G(z) samples) -> <out_dir>/swd.txt
         track_swd = os.environ.get("TERRAIN_SWD") == "1"
+        # artifact cadence: 1 = reference parity (dumps every epoch,
+        # pix2pix.py:265-273); larger values thin the host-side PNG work
+        art_every = int(os.environ.get("TERRAIN_ARTIFACT_EVERY", "1"))
         # constructed but default-off, like the reference (pix2pix.py:242)
         cb = ReduceLROnPlateau(verbose=self.verbose) if reduce_on_plateau else None
         for e in range(start_epoch, num_epochs):
@@ -318,6 +321,11 @@ class TwoStageGAN:
                 print(row)
             f.write(row + "\n")
             f.flush()
+            if (e + 1) % art_every != 0:
+                if model_dir is not None and (e + 1) % save_every == 0:
+                    self.flush_artifacts()
+                    self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
+                continue
             if self.train_mode in ("both", "p2p"):
                 self._plot_grid_epoch(it_val, os.path.join(out_dir, f"out_{e + 1}.png"),
                                       batch_size)
