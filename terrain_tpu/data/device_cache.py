@@ -43,22 +43,24 @@ class DeviceDataset:
 
     def batch_args(self, Z, idx):
         """The train-step batch tuple for this dataset's prepare fn."""
-        return (Z, idx, self.x, self.y)
+        return (Z, idx)
 
     def make_prepare(self, augment=True):
-        """Returns prepare((Z, idx, x_u8, y_u8), rng) -> (Z, X, Y).
+        """Returns prepare((Z, idx), rng) -> (Z, X, Y).
 
-        The dataset arrays travel as jit ARGUMENTS, not closure captures:
-        a captured device array becomes an HLO constant, which bakes the
-        whole (hundreds-of-MB) dataset into the compiled executable, blows
-        up the compilation cache, and re-compiles whenever the data values
-        change.  As arguments they stay resident on device and the compiled
-        step is dataset-independent (only shapes matter).
+        The dataset arrays are closure-captured (HLO constants).  We tried
+        passing them as jit arguments instead — it keeps the compilation
+        cache small and dataset-independent — but on the axon relay runtime
+        per-call staging of the ~250 MB argument pair regressed epoch wall
+        time ~20x (7 s compute became 2-4 min/epoch), so constants it is;
+        the cost is a fat executable (and a recompile if dataset values
+        change), the win is zero per-call overhead.
         """
+        x_u8, y_u8 = self.x, self.y
         is_a, is_b = self.is_a_grayscale, self.is_b_grayscale
 
         def prepare(batch, rng):
-            Z, idx, x_u8, y_u8 = batch
+            Z, idx = batch
             X, Y = gather_normalize(x_u8, y_u8, idx, is_a, is_b)
             if augment:
                 X, Y = augment_pair(jax.random.fold_in(rng, 0x5eed), X, Y)
