@@ -144,6 +144,7 @@ def _run(model, name, mode, bs):
                 num_epochs=int(_env("TERRAIN_EPOCHS", "1000")),
                 out_dir=out_dir, model_dir=model_dir,
                 save_every=int(_env("TERRAIN_SAVE_EVERY", "10")),
+                resume=_env("TERRAIN_RESUME", False),
                 quick_run=_env("TERRAIN_QUICK") == "1")
 
 
