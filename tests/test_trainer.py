@@ -236,3 +236,27 @@ def test_fake_network_plumbing(tmp_path):
         train_mode="p2p", verbose=False)
     it_train, it_val = _iters()
     m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None, quick_run=True)
+
+
+def test_training_convergence_regression(tmp_path):
+    """50 quick steps must cut p2p reconstruction loss by a third — a
+    regression catcher for anything that silently breaks the training
+    dynamics (gradient routing, optimizer math, normalization)."""
+    m = tiny_model()
+    x, y = make_pairs(16, IN, seed=0)
+    ds = DeviceDataset(x, y)
+    tr_step, _ = m._get_cache_steps(ds)
+    import jax.numpy as jnp
+
+    first = last = None
+    for t in range(50):
+        idx = np.arange(t * 4 % 16, t * 4 % 16 + 4, dtype=np.int32) % 16
+        Z = m._sample_z(4)
+        m.params, m.states, m.opt_states, losses = tr_step(
+            m.params, m.states, m.opt_states, ds.batch_args(Z, jnp.asarray(idx)),
+            jax.random.PRNGKey(t), jnp.float32(1e-3))
+        v = float(losses["p2p_recon"])
+        if first is None:
+            first = v
+        last = v
+    assert last < 0.7 * first, f"recon {first:.4f} -> {last:.4f}: no learning"
