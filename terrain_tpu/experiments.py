@@ -288,3 +288,48 @@ def smoke_synthetic(mode):
         model.load_model(_resolve_model(model_dir, "2.model"))
         out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
         model.generate_interpolation_clip(3, 4, out, concat=True)
+
+
+@experiment
+def earth_demo(mode):
+    """Real-terrain demo at 128px: trains on random crops of an actual
+    NASA-derived heightmap/texture raster pair via the on-the-fly crop
+    pipeline (TERRAIN_RASTER="heightmap.png,texture.jpg"; the reference
+    repo bundles downsampled versions of the real rasters as
+    md/earth_heightmap.png + md/earth_texture.jpg).  Same recipe as test1
+    (LSGAN, rmsprop 1e-4, simultaneous update), scaled to 128px."""
+    assert mode in ("train", "interp", "gen")
+    model = TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 128, "h": 5, "initial_size": 4,
+                          "final_size": 128, "div": [2, 2, 4, 4, 8]},
+        disc_params_dcgan={"nch": 128, "h": 5, "div": [8, 4, 4, 2, 2],
+                           "bn": False, "nonlinearity": "linear"},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 32, "act": "tanh", "bilinear_upsample": True},
+        disc_params_p2p={"nf": 32, "bn": False, "act": "linear"},
+        in_shp=128,
+        latent_dim=256,
+        is_a_grayscale=True,
+        is_b_grayscale=False,
+        lsgan=True,
+        opt="rmsprop",
+        opt_args={"learning_rate": 1e-4},
+        train_mode="both",
+        compute_dtype=_compute_dtype(),
+    )
+    name = "earth_demo"
+    bs = int(_env("TERRAIN_BS", "4"))
+    model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
+    if mode == "train":
+        _run(model, name, mode, bs)
+    elif mode == "gen":
+        model.load_model(_resolve_model(model_dir, "100.model"))
+        model.generate_gz(32, 8, os.path.join(_env("TERRAIN_OUT", "output"),
+                                              name, "gen"))
+    elif mode == "interp":
+        model.load_model(_resolve_model(model_dir, "100.model"))
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
+        model.generate_interpolation_clip(4, 4, out, concat=True)
