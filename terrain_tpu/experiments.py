@@ -15,6 +15,9 @@ Runtime knobs come from the environment instead of editing source:
   TERRAIN_FAST       "1" -> device-resident dataset (HBM cache) input path
   TERRAIN_DTYPE      "bf16" -> bfloat16 compute (fp32 params/accum)
   TERRAIN_OUT/TERRAIN_MODELS  artifact roots (default output/, models/)
+  TERRAIN_DISC_OUT   opt-in stability knob: DCGAN disc final-conv activation
+                     (e.g. "linear"; default keeps the reference's rectify)
+  TERRAIN_LR_MULTS   opt-in TTUR lr multipliers, e.g. "dcgan_disc=0.5"
 """
 
 import glob
@@ -148,17 +151,46 @@ def _run(model, name, mode, bs):
                 quick_run=_env("TERRAIN_QUICK") == "1")
 
 
+def _stability_overrides():
+    """Opt-in GAN stability knobs (reference-compatible defaults: both off).
+
+    TERRAIN_DISC_OUT   activation for the DCGAN disc's final conv, replacing
+                       the reference's hidden rectify (dcgan.py:50) — e.g.
+                       "linear" removes the dead zone that can collapse
+                       training (see docs/RESULTS_r1.md).
+    TERRAIN_LR_MULTS   TTUR per-net lr multipliers, "net=f,net=f" — e.g.
+                       "dcgan_disc=0.5,p2p_disc=0.5".
+    """
+    disc_kw, lr_mults = {}, None
+    v = _env("TERRAIN_DISC_OUT")
+    if v:
+        disc_kw["conv_out_nonlinearity"] = v
+    v = _env("TERRAIN_LR_MULTS")
+    if v:
+        lr_mults = {}
+        for pair in v.split(","):
+            name, eq, mult = pair.partition("=")
+            if not eq or not name.strip():
+                raise ValueError(
+                    f"TERRAIN_LR_MULTS entry {pair!r}: expected name=float, "
+                    'e.g. "dcgan_disc=0.5,p2p_disc=0.5"')
+            lr_mults[name.strip()] = float(mult)
+    return disc_kw, lr_mults
+
+
 def _build_test1(train_mode, p2p_bilinear, verbose=True):
     """The shared test1 configuration (reference experiments.py:22-119):
     LSGAN, rmsprop lr=1e-4, latent 1000, 512px, DCGAN div [2,2,4,4,8,8,8] /
     [8,4,4,4,2,2,2], U-Net nf=64 (optionally bilinear decoder), PatchGAN
     nf=64 with linear output."""
+    disc_kw, lr_mults = _stability_overrides()
     return TwoStageGAN(
         gen_fn_dcgan=dcgan.default_generator,
         disc_fn_dcgan=dcgan.default_discriminator,
         gen_params_dcgan={"num_repeats": 0, "div": [2, 2, 4, 4, 8, 8, 8]},
         disc_params_dcgan={"num_repeats": 0, "bn": False,
-                           "nonlinearity": "linear", "div": [8, 4, 4, 4, 2, 2, 2]},
+                           "nonlinearity": "linear",
+                           "div": [8, 4, 4, 4, 2, 2, 2], **disc_kw},
         gen_fn_p2p=p2p.g_unet,
         disc_fn_p2p=p2p.discriminator,
         gen_params_p2p={"nf": 64, "act": "tanh", "num_repeats": 0,
@@ -175,6 +207,7 @@ def _build_test1(train_mode, p2p_bilinear, verbose=True):
         train_mode=train_mode,
         compute_dtype=_compute_dtype(),
         verbose=verbose,
+        lr_mults=lr_mults,
     )
 
 
@@ -254,13 +287,14 @@ def smoke_synthetic(mode):
     os.environ.setdefault("TERRAIN_SYNTHETIC", "1")
     os.environ.setdefault("TERRAIN_N", "16")
     os.environ.setdefault("TERRAIN_EPOCHS", "2")
+    disc_kw, lr_mults = _stability_overrides()
     model = TwoStageGAN(
         gen_fn_dcgan=dcgan.default_generator,
         disc_fn_dcgan=dcgan.default_discriminator,
         gen_params_dcgan={"nch": 64, "h": 3, "initial_size": 4,
                           "final_size": 64, "div": [2, 2, 4, 4]},
         disc_params_dcgan={"nch": 64, "h": 3, "div": [4, 2, 2, 1], "bn": False,
-                           "nonlinearity": "linear"},
+                           "nonlinearity": "linear", **disc_kw},
         gen_fn_p2p=p2p.g_unet,
         disc_fn_p2p=p2p.discriminator,
         gen_params_p2p={"nf": 8, "act": "tanh", "bilinear_upsample": True},
@@ -274,6 +308,7 @@ def smoke_synthetic(mode):
         opt_args={"learning_rate": 1e-4},
         train_mode="both",
         compute_dtype=_compute_dtype(),
+        lr_mults=lr_mults,
     )
     name = "smoke_synthetic"
     bs = int(_env("TERRAIN_BS", "4"))
@@ -299,13 +334,14 @@ def earth_demo(mode):
     md/earth_heightmap.png + md/earth_texture.jpg).  Same recipe as test1
     (LSGAN, rmsprop 1e-4, simultaneous update), scaled to 128px."""
     assert mode in ("train", "interp", "gen")
+    disc_kw, lr_mults = _stability_overrides()
     model = TwoStageGAN(
         gen_fn_dcgan=dcgan.default_generator,
         disc_fn_dcgan=dcgan.default_discriminator,
         gen_params_dcgan={"nch": 128, "h": 5, "initial_size": 4,
                           "final_size": 128, "div": [2, 2, 4, 4, 8]},
         disc_params_dcgan={"nch": 128, "h": 5, "div": [8, 4, 4, 2, 2],
-                           "bn": False, "nonlinearity": "linear"},
+                           "bn": False, "nonlinearity": "linear", **disc_kw},
         gen_fn_p2p=p2p.g_unet,
         disc_fn_p2p=p2p.discriminator,
         gen_params_p2p={"nf": 32, "act": "tanh", "bilinear_upsample": True},
@@ -319,6 +355,7 @@ def earth_demo(mode):
         opt_args={"learning_rate": 1e-4},
         train_mode="both",
         compute_dtype=_compute_dtype(),
+        lr_mults=lr_mults,
     )
     name = "earth_demo"
     bs = int(_env("TERRAIN_BS", "4"))

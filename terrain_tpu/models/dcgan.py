@@ -161,9 +161,18 @@ def default_discriminator(
     bn=False,
     pool_mode="max",
     nonlinearity="sigmoid",
+    conv_out_nonlinearity="relu",
     compute_dtype=None,
 ):
-    """DCGAN discriminator factory (reference architectures/dcgan.py:35-58)."""
+    """DCGAN discriminator factory (reference architectures/dcgan.py:35-58).
+
+    conv_out_nonlinearity: activation after the final 1-channel conv, BEFORE
+    the avg-pool.  The reference leaves lasagne's Conv2DLayer default
+    (rectify) there — dcgan.py:50 — which can rail the pre-pool map to zero
+    and kill the discriminator's gradient (observed: training collapses on a
+    knife edge, seed-dependent).  "relu" (default) reproduces the reference;
+    "linear" is the stability knob that removes the dead zone.
+    """
     div = tuple(div)
     in_ch = 1 if is_a_grayscale else 3
     channels = [nch // d for d in div]
@@ -175,6 +184,7 @@ def default_discriminator(
         "(reference quirk dcgan.py:51 requires nch == in_shp)"
     )
     act = get_activation(nonlinearity)
+    conv_out_act = get_activation(conv_out_nonlinearity)
     cd = compute_dtype or jnp.float32
 
     def init(key):
@@ -214,7 +224,7 @@ def default_discriminator(
             new_state["stages"].append(reps_s)
             x = max_pool2d(x, 2) if pool_mode == "max" else avg_pool2d(x, 2)
         x = conv2d(x, params["conv_out"]["w"], params["conv_out"]["b"], stride=1, padding="same", compute_dtype=cd)
-        x = jnp.maximum(x, 0)  # lasagne Conv2DLayer default rectify, dcgan.py:50
+        x = conv_out_act(x)  # default relu = lasagne Conv2DLayer rectify, dcgan.py:50
         x = avg_pool2d(x, reduction_factor)
         x = x.reshape(x.shape[0], 1).astype(jnp.float32)
         return act(x), new_state
@@ -228,5 +238,6 @@ def default_discriminator(
             in_shp=in_shp, in_ch=in_ch, nch=nch, h=h, div=div,
             num_repeats=num_repeats, bn=bn, pool_mode=pool_mode,
             nonlinearity=nonlinearity,
+            conv_out_nonlinearity=conv_out_nonlinearity,
         ),
     )

@@ -155,7 +155,8 @@ def _total(losses, active, alpha):
 
 
 def build_train_step(nets, optimizer, *, alpha=100.0, lsgan=False,
-                     reconstruction="l1", train_mode="both", prepare=None):
+                     reconstruction="l1", train_mode="both", prepare=None,
+                     lr_mults=None):
     """Returns train_step(params, states, opt_states, batch, rng, lr).
 
     `batch` is whatever `prepare(batch, rng)` maps to an (Z, X, Y) tuple on
@@ -163,10 +164,21 @@ def build_train_step(nets, optimizer, *, alpha=100.0, lsgan=False,
     and gathers/normalizes/augments in-graph so the whole step is one XLA
     program.
 
+    `lr_mults` (optional dict net_name -> float) scales the runtime lr per
+    network — a TTUR knob (Heusel et al. 2017): e.g. {"dcgan_disc": 4.0}
+    trains that discriminator 4x faster than its generator.  Multipliers are
+    static (baked into the compiled graph) so lr stays the single runtime
+    scalar and LR schedules scale every network together.  The reference has
+    one shared lr (pix2pix.py:124-127); default None reproduces that.
+
     Returned pytrees reuse the input structure so the caller can donate
     buffers.  Losses come back as a dict over TRAIN_KEYS.
     """
     active = ACTIVE[train_mode]
+    lr_mults = dict(lr_mults or {})
+    unknown = set(lr_mults) - set(NET_NAMES)
+    if unknown:
+        raise ValueError(f"lr_mults for unknown networks: {sorted(unknown)}")
 
     def loss_fn(diff_params, all_params, states, Z, X, Y, rng):
         merged = {**all_params, **diff_params}
@@ -186,7 +198,8 @@ def build_train_step(nets, optimizer, *, alpha=100.0, lsgan=False,
         new_opt_states = dict(opt_states)
         for n in active:
             new_params[n], new_opt_states[n] = optimizer.update(
-                grads[n], opt_states[n], params[n], lr)
+                grads[n], opt_states[n], params[n],
+                lr * lr_mults.get(n, 1.0))
         return new_params, new_states, new_opt_states, losses
 
     return train_step

@@ -57,7 +57,8 @@ class TwoStageGAN:
                  in_shp, latent_dim, is_a_grayscale, is_b_grayscale,
                  alpha=100, opt="adam", opt_args=None, train_mode="both",
                  reconstruction="l1", sampler=np.random.rand, lsgan=False,
-                 verbose=True, seed=0, compute_dtype=None, da=True, mesh=None):
+                 verbose=True, seed=0, compute_dtype=None, da=True, mesh=None,
+                 lr_mults=None):
         assert train_mode in ("dcgan", "p2p", "both")
         self.in_shp = in_shp
         self.latent_dim = latent_dim
@@ -72,6 +73,9 @@ class TwoStageGAN:
         self.lsgan = lsgan
         self.reconstruction = reconstruction
         self.compute_dtype = compute_dtype
+        # TTUR: optional per-network lr multipliers (see train/step.py);
+        # None = reference behavior (single shared lr, pix2pix.py:124-127)
+        self.lr_mults = dict(lr_mults or {})
 
         def _kw(d):
             d = dict(d or {})
@@ -123,7 +127,8 @@ class TwoStageGAN:
         host_prepare = self._host_prepare if da else None
         self._train_step = jax.jit(
             build_train_step(self.nets, self.optimizer, train_mode=train_mode,
-                             prepare=host_prepare, **step_kw),
+                             prepare=host_prepare, lr_mults=self.lr_mults,
+                             **step_kw),
             donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(
             build_eval_step(self.nets, prepare=host_prepare, **step_kw))
@@ -183,7 +188,8 @@ class TwoStageGAN:
                       reconstruction=self.reconstruction)
             tr = jax.jit(
                 build_train_step(self.nets, self.optimizer,
-                                 train_mode=self.train_mode, prepare=prepare, **kw),
+                                 train_mode=self.train_mode, prepare=prepare,
+                                 lr_mults=self.lr_mults, **kw),
                 donate_argnums=(0, 1, 2))
             ev = jax.jit(build_eval_step(self.nets, prepare=prepare, **kw))
             entry = (ds, tr, ev)

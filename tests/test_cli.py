@@ -63,3 +63,24 @@ def test_get_data_raster_path(monkeypatch, tmp_path):
     tr, va = _get_data(64)
     X, Y = next(tr)
     assert X.shape == (2, 64, 64, 1) and Y.shape == (2, 64, 64, 3)
+
+
+def test_stability_overrides_parsing(monkeypatch):
+    from terrain_tpu.experiments import _stability_overrides
+
+    monkeypatch.delenv("TERRAIN_DISC_OUT", raising=False)
+    monkeypatch.delenv("TERRAIN_LR_MULTS", raising=False)
+    assert _stability_overrides() == ({}, None)  # reference defaults
+    monkeypatch.setenv("TERRAIN_DISC_OUT", "linear")
+    monkeypatch.setenv("TERRAIN_LR_MULTS", "dcgan_disc=0.5, p2p_disc=2")
+    disc_kw, lr_mults = _stability_overrides()
+    assert disc_kw == {"conv_out_nonlinearity": "linear"}
+    assert lr_mults == {"dcgan_disc": 0.5, "p2p_disc": 2.0}
+
+
+def test_stability_overrides_malformed_lr_mults(monkeypatch):
+    from terrain_tpu.experiments import _stability_overrides
+
+    monkeypatch.setenv("TERRAIN_LR_MULTS", "dcgan_disc")
+    with pytest.raises(ValueError, match="TERRAIN_LR_MULTS"):
+        _stability_overrides()

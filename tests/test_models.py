@@ -136,3 +136,32 @@ def test_generator_dropout_and_bilinear_paths():
     det1, _ = net.apply(params, state, z, train=False)
     det2, _ = net.apply(params, state, z, train=False)
     np.testing.assert_allclose(np.asarray(det1), np.asarray(det2))
+
+
+def test_dcgan_discriminator_conv_out_nonlinearity_knob():
+    # The reference leaves lasagne's default rectify on the final conv
+    # (dcgan.py:50); conv_out_nonlinearity="linear" is our opt-in stability
+    # knob that removes that dead zone.  Same params, pre-pool map railed
+    # negative: relu variant outputs exactly act(0) with zero gradient,
+    # linear variant stays alive.
+    kw = dict(in_shp=16, is_a_grayscale=True, nch=16, h=3, div=[4, 2],
+              nonlinearity="linear")
+    relu_net = dcgan.default_discriminator(**kw)  # default = reference quirk
+    lin_net = dcgan.default_discriminator(conv_out_nonlinearity="linear", **kw)
+    assert relu_net.config["conv_out_nonlinearity"] == "relu"
+    params, state = relu_net.init(KEY)
+    params["conv_out"]["b"] = params["conv_out"]["b"] - 100.0
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 1), jnp.float32)
+    out_r, _ = relu_net.apply(params, state, x)
+    out_l, _ = lin_net.apply(params, state, x)
+    np.testing.assert_array_equal(np.asarray(out_r), 0.0)
+    assert np.all(np.asarray(out_l) < 0)
+
+    def _maxabs(tree):
+        return max(jax.tree.leaves(jax.tree.map(
+            lambda a: float(jnp.max(jnp.abs(a))), tree)))
+
+    g_r = jax.grad(lambda p: relu_net.apply(p, state, x)[0].sum())(params)
+    g_l = jax.grad(lambda p: lin_net.apply(p, state, x)[0].sum())(params)
+    assert _maxabs(g_r) == 0.0, "hidden rectify should be dead here"
+    assert _maxabs(g_l) > 0.0, "linear conv_out must keep gradients alive"

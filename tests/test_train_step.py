@@ -221,3 +221,29 @@ def test_batched_disc_passes_match_unbatched(monkeypatch):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
         g_batched, g_split)
+
+
+def test_lr_mults_ttur_scales_only_named_net():
+    nets = _tiny_nets()
+    params, states = _init_all(nets)
+    opt = get_optimizer("rmsprop", {"learning_rate": 1e-4})
+    opt_states = {n: opt.init(params[n]) for n in nets}
+    kw = dict(alpha=100.0, lsgan=True, train_mode="both")
+    plain = jax.jit(build_train_step(nets, opt, **kw))
+    ttur = jax.jit(build_train_step(
+        nets, opt, lr_mults={"dcgan_disc": 2.0}, **kw))
+    batch = _batch()
+    rng = jax.random.PRNGKey(3)
+    p1, _, _, _ = plain(params, states, opt_states, batch, rng, 1e-4)
+    p2, _, _, _ = plain(params, states, opt_states, batch, rng, 2e-4)
+    pm, _, _, _ = ttur(params, states, opt_states, batch, rng, 1e-4)
+    # dcgan_disc stepped as if lr were doubled; every other net as plain lr
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        pm["dcgan_disc"], p2["dcgan_disc"])
+    for n in ("dcgan_gen", "p2p_gen", "p2p_disc"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            pm[n], p1[n])
+    with pytest.raises(ValueError, match="unknown networks"):
+        build_train_step(nets, opt, lr_mults={"nope": 2.0}, **kw)
