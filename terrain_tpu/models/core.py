@@ -86,6 +86,10 @@ def param_count(tree):
 
 def describe(net: Network, params, state) -> str:
     lines = [f"{net.name}: {param_count(params):,} learnable params"]
+    # record the factory config so an artifact dir identifies the exact
+    # variant that trained (e.g. the conv_out_nonlinearity stability knob)
+    for k in sorted(net.config):
+        lines.append(f"  config {k} = {net.config[k]!r}")
     flat = jax.tree_util.tree_leaves_with_path(params)
     for path, leaf in flat:
         lines.append(f"  {jax.tree_util.keystr(path)} {leaf.shape} {leaf.dtype}")
