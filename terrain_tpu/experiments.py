@@ -125,11 +125,12 @@ def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
     return get_iterators(path, bs, is_a_grayscale, is_b_grayscale)
 
 
-def _resolve_model(model_dir, preferred):
+def _resolve_model(model_dir, preferred=None):
     """Prefer the reference's hardcoded checkpoint name, else latest epoch."""
-    cand = os.path.join(model_dir, preferred)
-    if os.path.exists(cand):
-        return cand
+    if preferred:
+        cand = os.path.join(model_dir, preferred)
+        if os.path.exists(cand):
+            return cand
     models = glob.glob(os.path.join(model_dir, "*.model"))
     if not models:
         raise FileNotFoundError(f"no checkpoints under {model_dir}")
@@ -211,6 +212,89 @@ def _build_test1(train_mode, p2p_bilinear, verbose=True):
     )
 
 
+def _build_smoke(verbose=True):
+    """Tiny 64px two-stage config for CPU smoke runs (see smoke_synthetic)."""
+    disc_kw, lr_mults = _stability_overrides()
+    return TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 64, "h": 3, "initial_size": 4,
+                          "final_size": 64, "div": [2, 2, 4, 4]},
+        disc_params_dcgan={"nch": 64, "h": 3, "div": [4, 2, 2, 1], "bn": False,
+                           "nonlinearity": "linear", **disc_kw},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 8, "act": "tanh", "bilinear_upsample": True},
+        disc_params_p2p={"nf": 8, "bn": False, "act": "linear"},
+        in_shp=64,
+        latent_dim=32,
+        is_a_grayscale=True,
+        is_b_grayscale=False,
+        lsgan=True,
+        opt="rmsprop",
+        opt_args={"learning_rate": 1e-4},
+        train_mode="both",
+        compute_dtype=_compute_dtype(),
+        verbose=verbose,
+        lr_mults=lr_mults,
+    )
+
+
+def _build_earth(verbose=True):
+    """128px real-raster demo config (see earth_demo)."""
+    disc_kw, lr_mults = _stability_overrides()
+    return TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 128, "h": 5, "initial_size": 4,
+                          "final_size": 128, "div": [2, 2, 4, 4, 8]},
+        disc_params_dcgan={"nch": 128, "h": 5, "div": [8, 4, 4, 2, 2],
+                           "bn": False, "nonlinearity": "linear", **disc_kw},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 32, "act": "tanh", "bilinear_upsample": True},
+        disc_params_p2p={"nf": 32, "bn": False, "act": "linear"},
+        in_shp=128,
+        latent_dim=256,
+        is_a_grayscale=True,
+        is_b_grayscale=False,
+        lsgan=True,
+        opt="rmsprop",
+        opt_args={"learning_rate": 1e-4},
+        train_mode="both",
+        compute_dtype=_compute_dtype(),
+        verbose=verbose,
+        lr_mults=lr_mults,
+    )
+
+
+# experiment name -> (model, artifact dir name); used by the serving CLI
+# (terrain_tpu/serve/__main__.py) to construct a model without training
+_MODEL_BUILDERS = {
+    "test1_nobn": lambda v: (
+        _build_test1("both", False, verbose=v), "test1_repeatnod_fixp2p_nobn"),
+    "test1_nobn_finetunep2p_bilin": lambda v: (
+        _build_test1("p2p", True, verbose=v),
+        "test1_repeatnod_fixp2p_nobn_finetunep2p_bilin"),
+    "test1_nobn_bilin_both": lambda v: (
+        _build_test1("both", True, verbose=v), "test1_nobn_bilin_both"),
+    "smoke_synthetic": lambda v: (_build_smoke(verbose=v), "smoke_synthetic"),
+    "earth_demo": lambda v: (_build_earth(verbose=v), "earth_demo"),
+}
+
+
+def build_model(experiment, verbose=True):
+    """Construct the (untrained) model + artifact-dir name for a registered
+    experiment.  Raises KeyError for unknown names."""
+    try:
+        builder = _MODEL_BUILDERS[experiment]
+    except KeyError:
+        raise KeyError(
+            f"no model builder for experiment {experiment!r}; one of "
+            f"{sorted(_MODEL_BUILDERS)}") from None
+    return builder(verbose)
+
+
 @experiment
 def test1_nobn(mode):
     """Reference experiments.py:22-55 (name test1_repeatnod_fixp2p_nobn)."""
@@ -287,29 +371,7 @@ def smoke_synthetic(mode):
     os.environ.setdefault("TERRAIN_SYNTHETIC", "1")
     os.environ.setdefault("TERRAIN_N", "16")
     os.environ.setdefault("TERRAIN_EPOCHS", "2")
-    disc_kw, lr_mults = _stability_overrides()
-    model = TwoStageGAN(
-        gen_fn_dcgan=dcgan.default_generator,
-        disc_fn_dcgan=dcgan.default_discriminator,
-        gen_params_dcgan={"nch": 64, "h": 3, "initial_size": 4,
-                          "final_size": 64, "div": [2, 2, 4, 4]},
-        disc_params_dcgan={"nch": 64, "h": 3, "div": [4, 2, 2, 1], "bn": False,
-                           "nonlinearity": "linear", **disc_kw},
-        gen_fn_p2p=p2p.g_unet,
-        disc_fn_p2p=p2p.discriminator,
-        gen_params_p2p={"nf": 8, "act": "tanh", "bilinear_upsample": True},
-        disc_params_p2p={"nf": 8, "bn": False, "act": "linear"},
-        in_shp=64,
-        latent_dim=32,
-        is_a_grayscale=True,
-        is_b_grayscale=False,
-        lsgan=True,
-        opt="rmsprop",
-        opt_args={"learning_rate": 1e-4},
-        train_mode="both",
-        compute_dtype=_compute_dtype(),
-        lr_mults=lr_mults,
-    )
+    model = _build_smoke()
     name = "smoke_synthetic"
     bs = int(_env("TERRAIN_BS", "4"))
     model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
@@ -334,29 +396,7 @@ def earth_demo(mode):
     md/earth_heightmap.png + md/earth_texture.jpg).  Same recipe as test1
     (LSGAN, rmsprop 1e-4, simultaneous update), scaled to 128px."""
     assert mode in ("train", "interp", "gen")
-    disc_kw, lr_mults = _stability_overrides()
-    model = TwoStageGAN(
-        gen_fn_dcgan=dcgan.default_generator,
-        disc_fn_dcgan=dcgan.default_discriminator,
-        gen_params_dcgan={"nch": 128, "h": 5, "initial_size": 4,
-                          "final_size": 128, "div": [2, 2, 4, 4, 8]},
-        disc_params_dcgan={"nch": 128, "h": 5, "div": [8, 4, 4, 2, 2],
-                           "bn": False, "nonlinearity": "linear", **disc_kw},
-        gen_fn_p2p=p2p.g_unet,
-        disc_fn_p2p=p2p.discriminator,
-        gen_params_p2p={"nf": 32, "act": "tanh", "bilinear_upsample": True},
-        disc_params_p2p={"nf": 32, "bn": False, "act": "linear"},
-        in_shp=128,
-        latent_dim=256,
-        is_a_grayscale=True,
-        is_b_grayscale=False,
-        lsgan=True,
-        opt="rmsprop",
-        opt_args={"learning_rate": 1e-4},
-        train_mode="both",
-        compute_dtype=_compute_dtype(),
-        lr_mults=lr_mults,
-    )
+    model = _build_earth()
     name = "earth_demo"
     bs = int(_env("TERRAIN_BS", "4"))
     model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)

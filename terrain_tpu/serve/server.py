@@ -1,0 +1,230 @@
+"""Terrain sampler service: online API around the jit-compiled two-stage GAN.
+
+The reference exposes sampling only as offline CLI dumps
+(generate_gz/generate_atob/generate_interpolation, pix2pix.py:276-425);
+this server turns the same semantics into a concurrent network service
+designed around how TPUs execute:
+
+* the full z -> heightmap -> texture pipeline is ONE compiled XLA program
+  (terrain_tpu/sample/samplers.py), so a request costs a single device
+  dispatch;
+* concurrent requests are coalesced by the MicroBatcher and padded to
+  power-of-two bucket sizes — static shapes, so at most a handful of
+  executables compile and then every request is a cache hit;
+* all padding/slicing happens host-side on numpy; the device only ever
+  sees full buckets.
+
+Ops (newline-delimited JSON, see protocol.py):
+  {"op": "health"}                          -> {"ok": true, ...}
+  {"op": "stats"}                           -> batcher counters
+  {"op": "gz", "n": 4, "seed": 1,
+   "deterministic": true, "texture": true}  -> heightmaps (+ textures)
+  {"op": "atob", "heightmap": <b64 npy>}    -> textures for client arrays
+  {"op": "interp", "seed": 7, "steps": 25,
+   "deterministic": true}                   -> two-stage frames along a
+                                               z-lerp (pix2pix.py:374-425
+                                               semantics, one request)
+"""
+
+import socketserver
+import threading
+
+import numpy as np
+
+from terrain_tpu.serve.batcher import MicroBatcher, bucket_size
+from terrain_tpu.serve.protocol import decode_array, encode_array, recv_msg, send_msg
+
+
+class TerrainServer:
+    """Serves a trained TwoStageGAN.  ``model`` must expose the trainer's
+    sampler handles (_two_stage_det/_two_stage_stoch, _g_det/_g_stoch),
+    params/states, sampler, latent_dim — i.e. be a
+    terrain_tpu.train.trainer.TwoStageGAN."""
+
+    def __init__(self, model, host="127.0.0.1", port=0, *,
+                 max_batch=8, wait_ms=2.0):
+        self.model = model
+        self.max_batch = int(max_batch)
+        self.batcher = MicroBatcher(
+            self._run_batch, max_batch=max_batch, wait_ms=wait_ms)
+        self._rng_lock = threading.Lock()
+        self._global_rng = np.random.RandomState(0)
+        self._stoch_counter = 0
+
+        handler = self._make_handler()
+        # threaded so slow clients don't starve each other; actual device
+        # work is serialized per-op inside the batcher
+        self.tcp = socketserver.ThreadingTCPServer((host, port), handler)
+        self.tcp.daemon_threads = True
+        self.tcp.allow_reuse_address = True
+        self.host, self.port = self.tcp.server_address
+        self._thread = None
+
+    # ------------------------------------------------------------- lifecycle
+    def serve_forever(self):
+        self.tcp.serve_forever()
+
+    def start_background(self):
+        self._thread = threading.Thread(
+            target=self.serve_forever, name="terrain-serve", daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self):
+        self.tcp.shutdown()
+        self.tcp.server_close()
+        self.batcher.shutdown()
+
+    # ------------------------------------------------------------ device work
+    def _sample_z(self, n, seed):
+        if seed is not None:
+            return np.random.RandomState(int(seed)).rand(
+                n, self.model.latent_dim).astype(np.float32)
+        with self._rng_lock:
+            return self._global_rng.rand(
+                n, self.model.latent_dim).astype(np.float32)
+
+    def _next_rng(self):
+        import jax
+
+        with self._rng_lock:
+            self._stoch_counter += 1
+            return jax.random.fold_in(
+                jax.random.PRNGKey(0x5e7), self._stoch_counter)
+
+    def _pad(self, arr, bucket):
+        n = arr.shape[0]
+        if n == bucket:
+            return arr
+        pad = np.repeat(arr[:1], bucket - n, axis=0)  # repeat row 0: same
+        return np.concatenate([arr, pad], axis=0)     # shapes, valid values
+
+    def _two_stage(self, Z, deterministic):
+        m = self.model
+        p, s = m.params, m.states
+        args = (p["dcgan_gen"], s["dcgan_gen"], p["p2p_gen"], s["p2p_gen"], Z)
+        if deterministic:
+            a, b = m._two_stage_det(*args)
+        else:
+            a, b = m._two_stage_stoch(*args, self._next_rng())
+        return np.asarray(a), np.asarray(b)
+
+    def _atob(self, X, deterministic):
+        m = self.model
+        p, s = m.params["p2p_gen"], m.states["p2p_gen"]
+        if deterministic:
+            b = m._g_det(p, s, X)
+        else:
+            b = m._g_stoch(p, s, X, self._next_rng())
+        return np.asarray(b)
+
+    def _run_batch(self, op, requests):
+        """Executor for the MicroBatcher: one padded device dispatch for a
+        coalesced batch, then split results back per request."""
+        kind, deterministic = op
+        rows = [r["rows"] for r in requests]
+        total = sum(rows)
+        bucket = bucket_size(total, self.max_batch)
+        if kind == "gz":
+            batch = np.concatenate([r["z"] for r in requests], axis=0)
+            a, b = self._two_stage(self._pad(batch, bucket), deterministic)
+            payload = list(zip(np.split(a[:total], np.cumsum(rows)[:-1]),
+                               np.split(b[:total], np.cumsum(rows)[:-1])))
+        elif kind == "atob":
+            batch = np.concatenate([r["x"] for r in requests], axis=0)
+            b = self._atob(self._pad(batch, bucket), deterministic)
+            payload = np.split(b[:total], np.cumsum(rows)[:-1])
+        else:
+            raise ValueError(f"unknown batch op {kind!r}")
+        return payload
+
+    # -------------------------------------------------------------- requests
+    def handle_request(self, msg):
+        op = msg.get("op")
+        if op == "health":
+            return {"ok": True, "latent_dim": self.model.latent_dim,
+                    "in_shp": self.model.in_shp,
+                    "max_batch": self.max_batch}
+        if op == "stats":
+            return {"ok": True, **self.batcher.stats}
+        deterministic = bool(msg.get("deterministic", True))
+        if op == "gz":
+            n = int(msg.get("n", 1))
+            if not 1 <= n <= self.max_batch:
+                raise ValueError(
+                    f"n must be in [1, {self.max_batch}] per request")
+            Z = self._sample_z(n, msg.get("seed"))
+            a, b = self.batcher.submit(
+                ("gz", deterministic), {"z": Z, "rows": n}, n).result()
+            out = {"ok": True, "heightmap": encode_array(a)}
+            if msg.get("texture", True):
+                out["texture"] = encode_array(b)
+            return out
+        if op == "atob":
+            X = decode_array(msg["heightmap"]).astype(np.float32)
+            if X.ndim == 3:
+                X = X[None]
+            m = self.model
+            if X.shape[1:] != (m.in_shp, m.in_shp, 1):
+                raise ValueError(
+                    f"heightmap must be (n, {m.in_shp}, {m.in_shp}, 1), "
+                    f"got {X.shape}")
+            n = X.shape[0]
+            if n > self.max_batch:
+                raise ValueError(
+                    f"n must be <= {self.max_batch} per request")
+            b = self.batcher.submit(
+                ("atob", deterministic), {"x": X, "rows": n}, n).result()
+            return {"ok": True, "texture": encode_array(b)}
+        if op == "interp":
+            steps = int(msg.get("steps", 25))
+            if not 2 <= steps <= 256:
+                raise ValueError("steps must be in [2, 256]")
+            # z-lerp between two prior samples through the full two-stage
+            # pipeline (reference generate_interpolation_clip semantics,
+            # pix2pix.py:391-408), chunked into buckets server-side
+            Z = self._sample_z(2, msg.get("seed"))
+            t = np.linspace(0.0, 1.0, steps, dtype=np.float32)[:, None]
+            zs = Z[0][None] * (1 - t) + Z[1][None] * t
+            outs_a, outs_b = [], []
+            for i in range(0, steps, self.max_batch):
+                chunk = zs[i:i + self.max_batch]
+                a, b = self.batcher.submit(
+                    ("gz", deterministic),
+                    {"z": chunk, "rows": len(chunk)}, len(chunk)).result()
+                outs_a.append(a)
+                outs_b.append(b)
+            return {"ok": True,
+                    "heightmap": encode_array(np.concatenate(outs_a)),
+                    "texture": encode_array(np.concatenate(outs_b))}
+        raise ValueError(f"unknown op {op!r}")
+
+    # -------------------------------------------------------------- transport
+    def _make_handler(self):
+        server = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                while True:
+                    try:
+                        msg = recv_msg(self.rfile)
+                    except Exception as e:  # malformed frame: report, drop conn
+                        try:
+                            send_msg(self.wfile,
+                                     {"ok": False, "error": f"bad request: {e}"})
+                        except OSError:
+                            pass
+                        return
+                    if msg is None:
+                        return
+                    try:
+                        resp = server.handle_request(msg)
+                    except Exception as e:  # noqa: BLE001 — per-request isolation
+                        resp = {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"}
+                    try:
+                        send_msg(self.wfile, resp)
+                    except OSError:
+                        return
+
+        return Handler
