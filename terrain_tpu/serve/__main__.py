@@ -34,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--wait-ms", type=float, default=2.0)
     ap.add_argument("--no-weights", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the full-bucket graphs before serving")
     args = ap.parse_args(argv)
 
     from terrain_tpu.experiments import EXPERIMENTS, _resolve_model, build_model
@@ -51,6 +53,8 @@ def main(argv=None):
         model.load_model(path)
     server = TerrainServer(model, args.host, args.port,
                            max_batch=args.max_batch, wait_ms=args.wait_ms)
+    if args.warmup:
+        server.warmup(verbose=True)
     print(f"serving {args.experiment} on {server.host}:{server.port} "
           f"(max_batch={args.max_batch})")
     try:

@@ -75,6 +75,26 @@ class TerrainServer:
         self.tcp.server_close()
         self.batcher.shutdown()
 
+    def warmup(self, verbose=False):
+        """Pre-compile the deterministic graphs for EVERY bucket size
+        (1, 2, 4, ..., max_batch) so no first request pays an XLA compile
+        (on the TPU remote-compile relay a cold 512px two-stage compile
+        costs minutes)."""
+        m = self.model
+        b = 1
+        while True:
+            z = np.zeros((b, m.latent_dim), np.float32)
+            x = np.zeros((b, m.in_shp, m.in_shp, 1), np.float32)
+            if verbose:
+                print(f"warmup: compiling gz/atob bucket={b} ...", flush=True)
+            self._two_stage(z, True)
+            self._atob(x, True)
+            if b >= self.max_batch:
+                break
+            b = min(b * 2, self.max_batch)
+        if verbose:
+            print("warmup: done", flush=True)
+
     # ------------------------------------------------------------ device work
     def _sample_z(self, n, seed):
         if seed is not None:

@@ -172,3 +172,13 @@ def test_serve_concurrent_clients_coalesce(server):
     assert all(results[i].shape == (1, IN_SHP, IN_SHP, 1) for i in range(4))
     delta_req = server.batcher.stats["requests"] - before["requests"]
     assert delta_req == 4  # every request was served through the batcher
+
+
+def test_serve_warmup_compiles_without_touching_stats(server):
+    before = dict(server.batcher.stats)
+    server.warmup()
+    assert server.batcher.stats == before  # bypasses the batcher entirely
+    # served requests still work after a warmup
+    with TerrainClient(port=server.port) as c:
+        h, _ = c.generate(1, seed=0, texture=False)
+        assert h.shape == (1, IN_SHP, IN_SHP, 1)
