@@ -179,12 +179,18 @@ def _stability_overrides():
     return disc_kw, lr_mults
 
 
-def _build_test1(train_mode, p2p_bilinear, verbose=True):
+def _build_test1(train_mode, p2p_bilinear, verbose=True, disc_out=None):
     """The shared test1 configuration (reference experiments.py:22-119):
     LSGAN, rmsprop lr=1e-4, latent 1000, 512px, DCGAN div [2,2,4,4,8,8,8] /
     [8,4,4,4,2,2,2], U-Net nf=64 (optionally bilinear decoder), PatchGAN
-    nf=64 with linear output."""
+    nf=64 with linear output.
+
+    `disc_out` overrides the DCGAN discriminator's final-conv activation
+    (the reference's hidden rectify, dcgan.py:50) — the `_stable` variant
+    passes "linear"; the TERRAIN_DISC_OUT env knob still wins if set."""
     disc_kw, lr_mults = _stability_overrides()
+    if disc_out is not None:
+        disc_kw.setdefault("conv_out_nonlinearity", disc_out)
     return TwoStageGAN(
         gen_fn_dcgan=dcgan.default_generator,
         disc_fn_dcgan=dcgan.default_discriminator,
@@ -278,6 +284,9 @@ _MODEL_BUILDERS = {
         "test1_repeatnod_fixp2p_nobn_finetunep2p_bilin"),
     "test1_nobn_bilin_both": lambda v: (
         _build_test1("both", True, verbose=v), "test1_nobn_bilin_both"),
+    "test1_nobn_bilin_both_stable": lambda v: (
+        _build_test1("both", True, verbose=v, disc_out="linear"),
+        "test1_nobn_bilin_both_stable"),
     "smoke_synthetic": lambda v: (_build_smoke(verbose=v), "smoke_synthetic"),
     "earth_demo": lambda v: (_build_earth(verbose=v), "earth_demo"),
 }
@@ -349,6 +358,36 @@ def test1_nobn_bilin_both(mode):
     assert mode in ("train", "interp", "gen")
     model = _build_test1(train_mode="both", p2p_bilinear=True)
     name = "test1_nobn_bilin_both"
+    bs = int(_env("TERRAIN_BS", "4"))
+    model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
+    if mode == "train":
+        _run(model, name, mode, bs)
+    elif mode == "gen":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.generate_gz(100, 10, os.path.join(_env("TERRAIN_OUT", "output"),
+                                                name, "gen"))
+    elif mode == "interp":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
+        model.generate_interpolation_clip(10, 4, out, concat=True)
+
+
+@experiment
+def test1_nobn_bilin_both_stable(mode):
+    """The flagship configuration with the one-knob stabilization, shipped
+    as a first-class experiment: identical to test1_nobn_bilin_both except
+    the DCGAN discriminator's final conv is linear instead of the
+    reference's hidden rectify (dcgan.py:50).  That rectify sits *before*
+    the global average pool, so if every pre-pool activation goes negative
+    the discriminator output is exactly 0 with zero gradient — both LSGAN
+    losses pin to 1.0 and stage 1 is dead (observed at ~e41 in the parity
+    long run; see docs/RESULTS_r1.md and docs/RESULTS_r2.md).  A linear
+    final conv removes the dead region while keeping every other
+    hyperparameter at reference values."""
+    assert mode in ("train", "interp", "gen")
+    model = _build_test1(train_mode="both", p2p_bilinear=True,
+                         disc_out="linear")
+    name = "test1_nobn_bilin_both_stable"
     bs = int(_env("TERRAIN_BS", "4"))
     model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
     if mode == "train":

@@ -24,6 +24,14 @@ def _to_numpy(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _to_host(tree):
+    """Device arrays -> numpy; non-array leaves (strs, ints, RNG-state
+    tuples) pass through untouched.  Used for the 'extra' payload, which —
+    unlike params/states — is not a pure array pytree."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+
+
 def save_model(filename, params, states, extra=None):
     """params/states: dicts keyed by net name (dcgan_gen, dcgan_disc, ...)."""
     payload = {"format": "terrain_tpu/v1"}
@@ -33,7 +41,7 @@ def save_model(filename, params, states, extra=None):
             "disc": {"params": _to_numpy(params[d]), "state": _to_numpy(states[d])},
         }
     if extra is not None:
-        payload["extra"] = _to_numpy(extra)
+        payload["extra"] = _to_host(extra)
     # atomic write: a crash mid-save must never leave a corrupt checkpoint
     # (SURVEY.md §5 failure-recovery; pairs with trainer resume='auto')
     tmp = f"{filename}.tmp"

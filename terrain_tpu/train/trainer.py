@@ -108,16 +108,10 @@ class TwoStageGAN:
             # DP: batches sharded over 'data'; TP: wide weights sharded over
             # 'model'; everything else replicated.  XLA lowers the induced
             # gradient reductions to ICI collectives.
-            from terrain_tpu.parallel import batch_sharding, place, tp_shardings
+            from terrain_tpu.parallel import batch_sharding
 
             self._batch_sharding = batch_sharding(mesh)
-            for n in self.nets:
-                self.params[n] = place(self.params[n], tp_shardings(self.params[n], mesh))
-                self.states[n] = place(self.states[n], mesh)
-            self.opt_states = {
-                n: place(self.opt_states[n], tp_shardings(self.opt_states[n], mesh))
-                for n in self.opt_states
-            }
+            self._place_on_mesh()
         self._base_key = jax.random.fold_in(key, 777)
         self._step_counter = 0
         self._sched_rnd = np.random.RandomState(seed)
@@ -275,6 +269,10 @@ class TwoStageGAN:
         if resume == "auto":
             # failure recovery: resume from the newest checkpoint, if any
             resume, start_epoch = self._latest_checkpoint(model_dir)
+        # constructed but default-off, like the reference (pix2pix.py:242);
+        # built before the resume load so its state can be restored exactly
+        self._plateau = cb = (
+            ReduceLROnPlateau(verbose=self.verbose) if reduce_on_plateau else None)
         f = open(os.path.join(out_dir, "results.txt"),
                  "w" if not resume else "a")
         if not resume:
@@ -286,7 +284,9 @@ class TwoStageGAN:
         else:
             if self.verbose:
                 print(f"loading weights from: {resume}")
-            self.load_model(resume)
+            # exact resume: weights + optimizer accumulators + lr + RNG
+            # streams + scheduler state (SURVEY.md §5)
+            self.load_model(resume, exact=True)
         check_nans = os.environ.get("TERRAIN_CHECK_NANS") == "1"
         profile_dir = os.environ.get("TERRAIN_PROFILE")
         # optional per-epoch sample-quality tracking (SWD pyramid between
@@ -295,8 +295,6 @@ class TwoStageGAN:
         # artifact cadence: 1 = reference parity (dumps every epoch,
         # pix2pix.py:265-273); larger values thin the host-side PNG work
         art_every = int(os.environ.get("TERRAIN_ARTIFACT_EVERY", "1"))
-        # constructed but default-off, like the reference (pix2pix.py:242)
-        cb = ReduceLROnPlateau(verbose=self.verbose) if reduce_on_plateau else None
         for e in range(start_epoch, num_epochs):
             t0 = time()
             out = [str(e + 1)]
@@ -345,7 +343,7 @@ class TwoStageGAN:
                 self.generate_gz(num_examples=20, batch_size=batch_size,
                                  out_dir=os.path.join(out_dir, "dump_a"),
                                  deterministic=False, flush=False)
-            if track_swd and self.train_mode in ("both", "dcgan"):
+            if track_swd:
                 self._log_swd(it_val, out_dir, e + 1, batch_size)
             if model_dir is not None and (e + 1) % save_every == 0:
                 self.flush_artifacts()
@@ -354,25 +352,43 @@ class TwoStageGAN:
         f.close()
 
     def _log_swd(self, it_val, out_dir, epoch, batch_size, n=16):
-        """Append SWD-pyramid (real heightmaps vs G(z)) to <out_dir>/swd.txt."""
+        """Append SWD-pyramid quality metrics to <out_dir>/swd.txt.
+
+        Both stages get a quantitative trend (the reference had only
+        qualitative dumps, SURVEY.md §6):
+          * stage 1 (`swd_*` columns): real heightmaps vs DCGAN G(z);
+          * stage 2 (`p2p_swd_*` columns): real textures vs G_p2p(real A).
+        Columns follow the stage(s) active in `train_mode`."""
         from terrain_tpu.eval import swd_pyramid
 
-        reals = [np.asarray(X) for X, _ in self._batches_from(
+        pairs = [(np.asarray(X), np.asarray(Y)) for X, Y in self._batches_from(
             it_val, batch_size, max(n // batch_size, 1))]
-        real = np.concatenate(reals)[:n]
-        z = _floatX(self.sampler(real.shape[0], self.latent_dim))
-        fake = np.asarray(self._z_fn(z, deterministic=True))
+        real_a = np.concatenate([p[0] for p in pairs])[:n]
+        real_b = np.concatenate([p[1] for p in pairs])[:n]
         levels = max(1, min(3, int(np.log2(self.in_shp)) - 3))
         # fixed seed: same projections/patches every epoch so the trend is
         # comparable across epochs
-        out = swd_pyramid(real, fake, seed=0, n_levels=levels)
+        out = {}
+        if self.train_mode in ("both", "dcgan"):
+            z = _floatX(self.sampler(real_a.shape[0], self.latent_dim))
+            fake_a = np.asarray(self._z_fn(z, deterministic=True))
+            out.update(swd_pyramid(real_a, fake_a, seed=0, n_levels=levels))
+        if self.train_mode in ("both", "p2p"):
+            fake_b = np.asarray(self._gen_fn(real_a, deterministic=True))
+            out.update({f"p2p_{k}": v for k, v in
+                        swd_pyramid(real_b, fake_b, seed=0, n_levels=levels).items()})
         path = os.path.join(out_dir, "swd.txt")
-        fresh = not os.path.exists(path)
+        if os.path.exists(path):
+            # appending (e.g. after resume): keep the file's column set
+            with open(path) as g:
+                cols = g.readline().strip().split(",")[1:]
+        else:
+            cols = list(out)  # insertion order: stage-1 swd_*, then p2p_swd_*
+            with open(path, "w") as g:
+                g.write("epoch," + ",".join(cols) + "\n")
         with open(path, "a") as g:
-            if fresh:
-                g.write("epoch," + ",".join(sorted(out)) + "\n")
             g.write(f"{epoch}," + ",".join(
-                repr(out[k]) for k in sorted(out)) + "\n")
+                repr(out.get(k, float("nan"))) for k in cols) + "\n")
 
     # -------------------------------------------------------------- batches
     def _batches_from(self, itr, batch_size, n):
@@ -446,10 +462,49 @@ class TwoStageGAN:
 
     # ---------------------------------------------------------- checkpoints
     def save_model(self, filename):
-        ckpt.save_model(filename, self.params, self.states,
-                        extra={"lr": self.lr, "step": self._step_counter})
+        """Reference layout + an 'extra' payload carrying everything needed
+        for *exact* resume (SURVEY.md §5: params + opt state + epoch + RNG):
+        optimizer accumulators, lr, the fold_in step counter, the epoch-
+        schedule RandomState, the global numpy RNG (the default prior
+        `sampler=np.random.rand` draws from it, reference pix2pix.py:31),
+        and the plateau-scheduler state when enabled."""
+        extra = {
+            "lr": self.lr,
+            "step": self._step_counter,
+            "train_mode": self.train_mode,
+            "opt_states": self.opt_states,
+            "sched_rnd": self._sched_rnd.get_state(),
+            "np_random": np.random.get_state(),
+        }
+        pl = getattr(self, "_plateau", None)
+        if pl is not None:
+            extra["plateau"] = {k: getattr(pl, k)
+                                for k in ("cooldown_counter", "wait", "best")}
+        ckpt.save_model(filename, self.params, self.states, extra=extra)
 
-    def load_model(self, filename, mode="both"):
+    def _place_on_mesh(self):
+        """(Re)apply mesh shardings to params/states/opt_states."""
+        if self.mesh is None:
+            return
+        from terrain_tpu.parallel import place, tp_shardings
+
+        for n in self.nets:
+            self.params[n] = place(self.params[n],
+                                   tp_shardings(self.params[n], self.mesh))
+            self.states[n] = place(self.states[n], self.mesh)
+        self.opt_states = {
+            n: place(self.opt_states[n], tp_shardings(self.opt_states[n], self.mesh))
+            for n in self.opt_states
+        }
+
+    def load_model(self, filename, mode="both", exact=False):
+        """Restore weights (stage-partial via `mode`, reference
+        pix2pix.py:158-186).  `exact=False` (default) re-inits optimizer
+        state — the reference semantics for the freeze/fine-tune workflow.
+        `exact=True` (used by the trainer's resume path) also restores the
+        optimizer accumulators, lr, RNG streams, and scheduler state from
+        the checkpoint's 'extra' payload, so a resumed run continues the
+        exact trajectory of a never-interrupted one."""
         self.params, self.states, extra = ckpt.load_model(
             filename, self.params, self.states, mode=mode)
         # re-init optimizer state for restored nets (reference restarts
@@ -457,6 +512,23 @@ class TwoStageGAN:
         self.opt_states = {
             n: self.optimizer.init(self.params[n]) for n in ACTIVE[self.train_mode]
         }
+        if exact and extra:
+            self.lr = float(extra.get("lr", self.lr))
+            self._step_counter = int(extra.get("step", self._step_counter))
+            saved = extra.get("opt_states") or {}
+            for n in self.opt_states:
+                if n in saved:
+                    self.opt_states[n] = jax.tree.map(jnp.asarray, saved[n])
+            if extra.get("sched_rnd") is not None:
+                self._sched_rnd.set_state(tuple(extra["sched_rnd"]))
+            if extra.get("np_random") is not None:
+                np.random.set_state(tuple(extra["np_random"]))
+            pl_state = extra.get("plateau")
+            pl = getattr(self, "_plateau", None)
+            if pl_state and pl is not None:
+                for k, v in pl_state.items():
+                    setattr(pl, k, v)
+        self._place_on_mesh()
 
     # -------------------------------------------------------------- sampling
     def _z_fn(self, z, deterministic):

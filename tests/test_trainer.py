@@ -194,9 +194,80 @@ def test_swd_tracking_hook(tmp_path, monkeypatch):
     out = str(tmp_path / "o")
     m.train(it_train, it_val, 4, 1, out, None, quick_run=True)
     lines = open(os.path.join(out, "swd.txt")).read().strip().split("\n")
-    assert lines[0].startswith("epoch,swd_level0")
+    header = lines[0].split(",")
+    # both stages get a quality trend: stage-1 heightmap SWD + stage-2
+    # texture SWD (real B vs G_p2p(A))
+    assert header[0] == "epoch" and "swd_level0" in header
+    assert "swd_mean" in header and "p2p_swd_mean" in header
+    assert "p2p_swd_level0" in header
     assert lines[1].split(",")[0] == "1"
     assert all(np.isfinite(float(v)) for v in lines[1].split(",")[1:])
+
+
+def test_swd_p2p_only_mode(tmp_path, monkeypatch):
+    monkeypatch.setenv("TERRAIN_SWD", "1")
+    m = tiny_model(train_mode="p2p")
+    it_train, it_val = _iters()
+    out = str(tmp_path / "o")
+    m.train(it_train, it_val, 4, 1, out, None, quick_run=True)
+    header = open(os.path.join(out, "swd.txt")).readline().strip().split(",")
+    assert "p2p_swd_mean" in header and "swd_mean" not in header
+
+
+def _device_sets(n=8):
+    x, y = make_pairs(n, IN, seed=0)
+    xv, yv = make_pairs(4, IN, seed=1)
+    return DeviceDataset(x, y), DeviceDataset(xv, yv)
+
+
+def test_exact_resume_matches_uninterrupted(tmp_path):
+    """Train 4 epochs straight vs train 2 + exact resume for 2 more: the
+    resumed run must land on the same trajectory (params, optimizer
+    accumulators, RNG streams) — VERDICT r1 weak#1 / SURVEY.md §5 'params +
+    opt state + epoch + RNG key'."""
+    np.random.seed(123)
+    m = tiny_model()
+    tr, va = _device_sets()
+    m.train(tr, va, 4, 4, str(tmp_path / "oa"), str(tmp_path / "ma"),
+            save_every=2)
+
+    np.random.seed(123)
+    m1 = tiny_model()
+    tr2, va2 = _device_sets()
+    outb, mdlb = str(tmp_path / "ob"), str(tmp_path / "mb")
+    m1.train(tr2, va2, 4, 2, outb, mdlb, save_every=2)
+    m2 = tiny_model()  # fresh process stand-in: brand-new model object
+    m2.train(tr2, va2, 4, 4, outb, mdlb, save_every=2, resume="auto")
+
+    assert m2._step_counter == m._step_counter
+    assert m2.lr == m.lr
+    for n in m.params:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            m.params[n], m2.params[n])
+    for n in m.opt_states:
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            m.opt_states[n], m2.opt_states[n])
+
+
+def test_plain_load_does_not_restore_optimizer(tmp_path):
+    """load_model without exact=True keeps the reference semantics: weights
+    only, optimizer state re-initialised (the freeze/fine-tune workflow must
+    not inherit stale accumulators)."""
+    m = tiny_model()
+    tr, va = _device_sets()
+    m.train(tr, va, 4, 1, str(tmp_path / "o"), str(tmp_path / "m"),
+            save_every=1, quick_run=True)
+    path = os.path.join(str(tmp_path / "m"), "1.model")
+    m2 = tiny_model()
+    m2.lr = 0.5
+    m2.load_model(path)
+    assert m2.lr == 0.5  # untouched
+    accu = np.asarray(m2.opt_states["dcgan_gen"]["accu"]["dense"]["w"])
+    assert accu.max() == 0.0  # fresh rmsprop accumulator
 
 
 def test_eval_steps_cap(tmp_path, monkeypatch):

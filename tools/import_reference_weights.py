@@ -17,7 +17,7 @@ Per-layer lasagne orders and the conversions to our NHWC trees:
   BatchNormLayer       [beta, gamma, mean, inv_std] -> params {gamma, beta},
       state {mean, inv_std} (identical representation by design, ops/norm.py).
 
-DCGAN generator特殊 case: the reference reshapes the dense output to NCHW
+DCGAN generator special case: the reference reshapes the dense output to NCHW
 (N, nch, s, s) (dcgan.py:18) while we reshape to (N, s, s, nch), so the dense
 W columns / b / following-BN vectors are permuted from (nch, s, s) C-order to
 (s, s, nch) C-order.
