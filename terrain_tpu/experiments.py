@@ -16,8 +16,14 @@ Runtime knobs come from the environment instead of editing source:
   TERRAIN_DTYPE      "bf16" -> bfloat16 compute (fp32 params/accum)
   TERRAIN_OUT/TERRAIN_MODELS  artifact roots (default output/, models/)
   TERRAIN_DISC_OUT   opt-in stability knob: DCGAN disc final-conv activation
-                     (e.g. "linear"; default keeps the reference's rectify)
+                     (e.g. "linear"; default keeps the reference's rectify —
+                     or use the test1_nobn_bilin_both_stable experiment)
   TERRAIN_LR_MULTS   opt-in TTUR lr multipliers, e.g. "dcgan_disc=0.5"
+  TERRAIN_PREFETCH   "0" -> disable the background host->device prefetcher
+                     that the trainer wraps around host iterators
+  TERRAIN_CHECK_NANS "1" -> host-side non-finite loss check per epoch;
+                     "2" -> checkify float checks compiled into the step
+                     (a NaN raises at the producing op, debug-only cost)
 """
 
 import glob
@@ -74,9 +80,22 @@ def get_device_datasets(dataset, is_a_grayscale, is_b_grayscale):
     return tr, va
 
 
+def _shard_hosts(pair):
+    """Multi-host: give each process a disjoint slice of every global batch
+    (host iterators only; the device-resident path is single-host)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return pair
+    from terrain_tpu.parallel import HostShardIterator
+
+    return tuple(HostShardIterator(it) for it in pair)
+
+
 def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
     """Resolve train/valid inputs from the environment (h5, synthetic,
-    on-the-fly raster crops, or device-resident), for any experiment."""
+    on-the-fly raster crops, or device-resident), for any experiment.
+    Host-iterator paths are per-host sharded when running multi-process."""
     fast = _env("TERRAIN_FAST") == "1"
     raster = _env("TERRAIN_RASTER")  # "heightmap.png,texture.jpg"
     if raster:
@@ -98,7 +117,7 @@ def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
                                 epoch_size=max(n // 10, bs), seed=1,
                                 is_a_grayscale=is_a_grayscale,
                                 is_b_grayscale=is_b_grayscale)
-        return tr, va
+        return _shard_hosts((tr, va))
     if _env("TERRAIN_SYNTHETIC") == "1":
         from terrain_tpu.data.synthetic import make_pairs
 
@@ -109,10 +128,11 @@ def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
             return (DeviceDataset(xt, yt, is_a_grayscale, is_b_grayscale),
                     DeviceDataset(xv, yv, is_a_grayscale, is_b_grayscale))
         bs = int(_env("TERRAIN_BS", "4"))
-        return (Hdf5Iterator(xt, yt, bs, is_a_grayscale=is_a_grayscale,
-                             is_b_grayscale=is_b_grayscale),
-                Hdf5Iterator(xv, yv, bs, is_a_grayscale=is_a_grayscale,
-                             is_b_grayscale=is_b_grayscale))
+        return _shard_hosts(
+            (Hdf5Iterator(xt, yt, bs, is_a_grayscale=is_a_grayscale,
+                          is_b_grayscale=is_b_grayscale),
+             Hdf5Iterator(xv, yv, bs, is_a_grayscale=is_a_grayscale,
+                          is_b_grayscale=is_b_grayscale)))
     path = _env("TERRAIN_DATA", "data/textures_v2_brown500.h5")
     if not os.path.exists(path):
         raise FileNotFoundError(
@@ -122,7 +142,7 @@ def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
     if fast:
         return get_device_datasets(path, is_a_grayscale, is_b_grayscale)
     bs = int(_env("TERRAIN_BS", "4"))
-    return get_iterators(path, bs, is_a_grayscale, is_b_grayscale)
+    return _shard_hosts(get_iterators(path, bs, is_a_grayscale, is_b_grayscale))
 
 
 def _resolve_model(model_dir, preferred=None):

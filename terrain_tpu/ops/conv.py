@@ -11,10 +11,27 @@ Lasagne's pad='same' pads symmetrically even for strided convs
 (asymmetric low/high split for even inputs), so we never use the string form.
 """
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _try_pallas_stem(x, w, b, stride, padding, cd):
+    """Auto-dispatch the tiny-cin 5x5 s1 stem conv to the Pallas kernel on
+    TPU (the ~600x-off-roofline XLA shape, docs/ROADMAP.md item 1).  Regime
+    checks live in ops/pallas/conv_stem.supported; TERRAIN_PALLAS_CONV=0
+    opts out.  Returns None when the XLA path should run."""
+    if os.environ.get("TERRAIN_PALLAS_CONV", "1") == "0":
+        return None
+    from terrain_tpu.ops.pallas import conv_stem as _cs
+
+    if not _cs.supported(x.shape, w.shape, stride, padding):
+        return None
+    bb = b if b is not None else jnp.zeros((w.shape[-1],), cd)
+    return _cs.conv_stem(x.astype(cd), w.astype(cd), bb)
 
 
 def _to_pair(v):
@@ -33,6 +50,10 @@ def conv2d(x, w, b=None, *, stride=1, padding="same", compute_dtype=None):
     """
     kh, kw = w.shape[0], w.shape[1]
     s = _to_pair(stride)
+    cd0 = compute_dtype or x.dtype
+    out = _try_pallas_stem(x, w, b, s, padding, cd0)
+    if out is not None:
+        return out
     if padding == "same":
         pad = (((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2)
     elif padding == "valid":

@@ -99,7 +99,7 @@ def _pallas_bilinear_2x(x):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, 2 * HT, 2 * WT, CT),
             lambda nn, hh, ww, cc: (nn, hh, ww, cc),

@@ -1,5 +1,10 @@
 """Parallelism layer: device meshes, DP/TP shardings, distributed init."""
 
+from terrain_tpu.parallel.distributed import (
+    HostShardIterator,
+    host_batch_slice,
+    initialize,
+)
 from terrain_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -10,4 +15,5 @@ from terrain_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "spatial_batch_sharding",
-           "replicated", "tp_shardings", "place"]
+           "replicated", "tp_shardings", "place",
+           "initialize", "host_batch_slice", "HostShardIterator"]

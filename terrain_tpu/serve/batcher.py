@@ -58,8 +58,14 @@ class MicroBatcher:
         self._queues = {}
         self._workers = {}
         self._lock = threading.Lock()
+        self._stats_lock = threading.Lock()  # per-op workers share counters
         self._stop = threading.Event()
         self.stats = {"batches": 0, "requests": 0, "rows": 0}
+
+    def snapshot(self):
+        """Consistent copy of the counters (per-op workers mutate them)."""
+        with self._stats_lock:
+            return dict(self.stats)
 
     def submit(self, op, request, n=1):
         if n > self.max_batch:
@@ -123,11 +129,28 @@ class MicroBatcher:
                 for it in items:
                     it.future.set_exception(e)
                 continue
-            self.stats["batches"] += 1
-            self.stats["requests"] += len(items)
-            self.stats["rows"] += sum(it.n for it in items)
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["requests"] += len(items)
+                self.stats["rows"] += sum(it.n for it in items)
             for it, res in zip(items, results):
                 it.future.set_result(res)
 
     def shutdown(self):
+        """Stop the workers and fail any queued-but-unexecuted requests, so
+        no client blocks forever in future.result()."""
         self._stop.set()
+        with self._lock:
+            queues = list(self._queues.values())
+            workers = list(self._workers.values())
+        for t in workers:  # workers poll the stop event every <=100 ms
+            t.join(timeout=2.0)
+        err = RuntimeError("server shutting down")
+        for q in queues:
+            try:
+                while True:
+                    item = q.get_nowait()
+                    if not item.future.done():
+                        item.future.set_exception(err)
+            except queue.Empty:
+                pass

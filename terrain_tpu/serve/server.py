@@ -50,6 +50,10 @@ class TerrainServer:
         self._rng_lock = threading.Lock()
         self._global_rng = np.random.RandomState(0)
         self._stoch_counter = 0
+        # one device-dispatch lock across ALL ops: the batcher serializes
+        # per-op, but two different ops (gz vs atob) could otherwise hit the
+        # jitted sampler handles concurrently from their worker threads
+        self._dispatch_lock = threading.Lock()
 
         handler = self._make_handler()
         # threaded so slow clients don't starve each other; actual device
@@ -123,20 +127,22 @@ class TerrainServer:
         m = self.model
         p, s = m.params, m.states
         args = (p["dcgan_gen"], s["dcgan_gen"], p["p2p_gen"], s["p2p_gen"], Z)
-        if deterministic:
-            a, b = m._two_stage_det(*args)
-        else:
-            a, b = m._two_stage_stoch(*args, self._next_rng())
-        return np.asarray(a), np.asarray(b)
+        with self._dispatch_lock:
+            if deterministic:
+                a, b = m._two_stage_det(*args)
+            else:
+                a, b = m._two_stage_stoch(*args, self._next_rng())
+            return np.asarray(a), np.asarray(b)
 
     def _atob(self, X, deterministic):
         m = self.model
         p, s = m.params["p2p_gen"], m.states["p2p_gen"]
-        if deterministic:
-            b = m._g_det(p, s, X)
-        else:
-            b = m._g_stoch(p, s, X, self._next_rng())
-        return np.asarray(b)
+        with self._dispatch_lock:
+            if deterministic:
+                b = m._g_det(p, s, X)
+            else:
+                b = m._g_stoch(p, s, X, self._next_rng())
+            return np.asarray(b)
 
     def _run_batch(self, op, requests):
         """Executor for the MicroBatcher: one padded device dispatch for a
@@ -166,7 +172,7 @@ class TerrainServer:
                     "in_shp": self.model.in_shp,
                     "max_batch": self.max_batch}
         if op == "stats":
-            return {"ok": True, **self.batcher.stats}
+            return {"ok": True, **self.batcher.snapshot()}
         deterministic = bool(msg.get("deterministic", True))
         if op == "gz":
             n = int(msg.get("n", 1))

@@ -29,7 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from terrain_tpu.data import DeviceDataset, augment_pair, epoch_index_schedule
+from terrain_tpu.data import (
+    DeviceDataset,
+    Prefetcher,
+    augment_pair,
+    epoch_index_schedule,
+)
 from terrain_tpu.models.core import param_count
 from terrain_tpu.train import checkpoint as ckpt
 from terrain_tpu.train.losses import TRAIN_KEYS
@@ -119,12 +124,12 @@ class TwoStageGAN:
         step_kw = dict(alpha=alpha, lsgan=lsgan, reconstruction=reconstruction)
         # host-batch steps: batch = (Z, X, Y); augmentation fused in-graph
         host_prepare = self._host_prepare if da else None
-        self._train_step = jax.jit(
+        self._train_step = self._jit_step(
             build_train_step(self.nets, self.optimizer, train_mode=train_mode,
                              prepare=host_prepare, lr_mults=self.lr_mults,
                              **step_kw),
             donate_argnums=(0, 1, 2))
-        self._eval_step = jax.jit(
+        self._eval_step = self._jit_step(
             build_eval_step(self.nets, prepare=host_prepare, **step_kw))
         self._cache_steps = {}  # id(DeviceDataset) -> (train_step, eval_step)
 
@@ -160,6 +165,29 @@ class TwoStageGAN:
         if getattr(self, "_writer_", None) is not None:
             self._writer_.flush()
 
+    # ---------------------------------------------------------------- steps
+    @staticmethod
+    def _jit_step(fn, donate_argnums=None):
+        """jit a step function; TERRAIN_CHECK_NANS=2 compiles it under
+        jax.experimental.checkify float checks instead, so a non-finite
+        value raises *at the producing op* (with its source location)
+        rather than surfacing as a non-finite epoch loss.  Debug mode:
+        every op is instrumented and buffers are not donated."""
+        if os.environ.get("TERRAIN_CHECK_NANS") == "2":
+            from jax.experimental import checkify
+
+            checked = jax.jit(checkify.checkify(fn, errors=checkify.float_checks))
+
+            def wrapped(*args):
+                err, out = checked(*args)
+                checkify.check_error(err)  # raises JaxRuntimeError w/ op loc
+                return out
+
+            return wrapped
+        if donate_argnums is not None:
+            return jax.jit(fn, donate_argnums=donate_argnums)
+        return jax.jit(fn)
+
     # ------------------------------------------------------------------ rng
     def _next_rng(self):
         self._step_counter += 1
@@ -180,24 +208,37 @@ class TwoStageGAN:
             prepare = ds.make_prepare(augment=self.da)
             kw = dict(alpha=self.alpha, lsgan=self.lsgan,
                       reconstruction=self.reconstruction)
-            tr = jax.jit(
+            tr = self._jit_step(
                 build_train_step(self.nets, self.optimizer,
                                  train_mode=self.train_mode, prepare=prepare,
                                  lr_mults=self.lr_mults, **kw),
                 donate_argnums=(0, 1, 2))
-            ev = jax.jit(build_eval_step(self.nets, prepare=prepare, **kw))
+            ev = self._jit_step(build_eval_step(self.nets, prepare=prepare, **kw))
             entry = (ds, tr, ev)
             self._cache_steps[key] = entry
         return entry[1], entry[2]
 
     def _put_batch(self, x):
-        """Place a batch array, sharding the leading dim when on a mesh."""
+        """Place a batch array, sharding the leading dim when on a mesh.
+
+        Multi-host: `x` is this process's local shard (the data layer wraps
+        host iterators in HostShardIterator); the global sharded array is
+        assembled from every host's slice without any cross-DCN copy."""
         if self._batch_sharding is not None:
-            return jax.device_put(np.asarray(x), self._batch_sharding)
+            x = np.asarray(x)
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(
+                    self._batch_sharding, x)
+            return jax.device_put(x, self._batch_sharding)
         return jnp.asarray(x)
 
     def _sample_z(self, n):
-        return self._put_batch(_floatX(self.sampler(n, self.latent_dim)))
+        """Prior batch for a *global* batch of n; each host draws only its
+        own rows in multi-host (the prior is iid, so the hosts' independent
+        RNG streams still realize one global iid batch)."""
+        multi = self._batch_sharding is not None and jax.process_count() > 1
+        n_local = n // jax.process_count() if multi else n
+        return self._put_batch(_floatX(self.sampler(n_local, self.latent_dim)))
 
     def _run_epoch(self, itr, batch_size, *, train, quick_run=False):
         """One pass over `itr` (host iterator or DeviceDataset); returns the
@@ -262,6 +303,21 @@ class TwoStageGAN:
                   + [f"train_{k}" for k in TRAIN_KEYS]
                   + [f"valid_{k}" for k in TRAIN_KEYS]
                   + ["lr", "time", "mode"])
+        # overlap host batch work (h5 reads / crops / normalize) with device
+        # compute — the reference's own bottleneck was synchronous h5-per-step
+        # reads in the hot loop (pix2pix.py:204 -> util.py:21-41).  Device-
+        # resident datasets skip this; TERRAIN_PREFETCH=0 opts out.
+        own_prefetchers = []
+        if os.environ.get("TERRAIN_PREFETCH", "1") != "0":
+            def _wrap(itr):
+                if isinstance(itr, (DeviceDataset, Prefetcher)):
+                    return itr
+                p = Prefetcher(itr, size=2, devices=self._batch_sharding)
+                own_prefetchers.append(p)
+                return p
+
+            it_train = _wrap(it_train)
+            it_val = _wrap(it_val)
         os.makedirs(out_dir, exist_ok=True)
         if model_dir is not None:
             os.makedirs(model_dir, exist_ok=True)
@@ -295,61 +351,65 @@ class TwoStageGAN:
         # artifact cadence: 1 = reference parity (dumps every epoch,
         # pix2pix.py:265-273); larger values thin the host-side PNG work
         art_every = int(os.environ.get("TERRAIN_ARTIFACT_EVERY", "1"))
-        for e in range(start_epoch, num_epochs):
-            t0 = time()
-            out = [str(e + 1)]
-            if profile_dir and e == start_epoch + 1:
-                # trace the second (post-compile) epoch
-                from terrain_tpu.utils.profiling import trace
+        try:
+            for e in range(start_epoch, num_epochs):
+                t0 = time()
+                out = [str(e + 1)]
+                if profile_dir and e == start_epoch + 1:
+                    # trace the second (post-compile) epoch
+                    from terrain_tpu.utils.profiling import trace
 
-                with trace(profile_dir):
+                    with trace(profile_dir):
+                        train_losses = self._run_epoch(
+                            it_train, batch_size, train=True, quick_run=quick_run)
+                else:
                     train_losses = self._run_epoch(
                         it_train, batch_size, train=True, quick_run=quick_run)
-            else:
-                train_losses = self._run_epoch(
-                    it_train, batch_size, train=True, quick_run=quick_run)
-            if check_nans:
-                bad = [k for k, v in train_losses.items() if not np.isfinite(v)]
-                if bad:
-                    raise FloatingPointError(
-                        f"non-finite training losses at epoch {e + 1}: {bad}")
-            out += [repr(train_losses[k]) for k in TRAIN_KEYS]
-            if cb is not None:
-                self.lr = cb.step(self.lr, train_losses["p2p_recon"], e + 1)
-            valid_losses = self._run_epoch(
-                it_val, batch_size, train=False, quick_run=quick_run)
-            out += [repr(valid_losses[k]) for k in TRAIN_KEYS]
-            out += [repr(self.lr), repr(time() - t0), self.train_mode]
-            row = ",".join(out)
-            if self.verbose:
-                print(row)
-            f.write(row + "\n")
-            f.flush()
-            if (e + 1) % art_every != 0:
+                if check_nans:
+                    bad = [k for k, v in train_losses.items() if not np.isfinite(v)]
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite training losses at epoch {e + 1}: {bad}")
+                out += [repr(train_losses[k]) for k in TRAIN_KEYS]
+                if cb is not None:
+                    self.lr = cb.step(self.lr, train_losses["p2p_recon"], e + 1)
+                valid_losses = self._run_epoch(
+                    it_val, batch_size, train=False, quick_run=quick_run)
+                out += [repr(valid_losses[k]) for k in TRAIN_KEYS]
+                out += [repr(self.lr), repr(time() - t0), self.train_mode]
+                row = ",".join(out)
+                if self.verbose:
+                    print(row)
+                f.write(row + "\n")
+                f.flush()
+                if (e + 1) % art_every != 0:
+                    if model_dir is not None and (e + 1) % save_every == 0:
+                        self.flush_artifacts()
+                        self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
+                    continue
+                if self.train_mode in ("both", "p2p"):
+                    self._plot_grid_epoch(it_val, os.path.join(out_dir, f"out_{e + 1}.png"),
+                                          batch_size)
+                    self.generate_atob(it_train, 1, os.path.join(out_dir, "dump_train"),
+                                       deterministic=False, batch_size=batch_size,
+                                       flush=False)
+                    self.generate_atob(it_val, 1, os.path.join(out_dir, "dump_valid"),
+                                       deterministic=False, batch_size=batch_size,
+                                       flush=False)
+                if self.train_mode in ("both", "dcgan"):
+                    self.generate_gz(num_examples=20, batch_size=batch_size,
+                                     out_dir=os.path.join(out_dir, "dump_a"),
+                                     deterministic=False, flush=False)
+                if track_swd:
+                    self._log_swd(it_val, out_dir, e + 1, batch_size)
                 if model_dir is not None and (e + 1) % save_every == 0:
                     self.flush_artifacts()
                     self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
-                continue
-            if self.train_mode in ("both", "p2p"):
-                self._plot_grid_epoch(it_val, os.path.join(out_dir, f"out_{e + 1}.png"),
-                                      batch_size)
-                self.generate_atob(it_train, 1, os.path.join(out_dir, "dump_train"),
-                                   deterministic=False, batch_size=batch_size,
-                                   flush=False)
-                self.generate_atob(it_val, 1, os.path.join(out_dir, "dump_valid"),
-                                   deterministic=False, batch_size=batch_size,
-                                   flush=False)
-            if self.train_mode in ("both", "dcgan"):
-                self.generate_gz(num_examples=20, batch_size=batch_size,
-                                 out_dir=os.path.join(out_dir, "dump_a"),
-                                 deterministic=False, flush=False)
-            if track_swd:
-                self._log_swd(it_val, out_dir, e + 1, batch_size)
-            if model_dir is not None and (e + 1) % save_every == 0:
-                self.flush_artifacts()
-                self.save_model(os.path.join(model_dir, f"{e + 1}.model"))
-        self.flush_artifacts()
-        f.close()
+        finally:
+            for p in own_prefetchers:
+                p.close()
+            self.flush_artifacts()
+            f.close()
 
     def _log_swd(self, it_val, out_dir, epoch, batch_size, n=16):
         """Append SWD-pyramid quality metrics to <out_dir>/swd.txt.

@@ -155,3 +155,61 @@ def test_prefetcher_yields_device_batches():
     assert isinstance(xb, jax.Array)
     assert xb.shape == (4, 8, 8, 1)
     pf.close()
+
+
+def test_prefetcher_exposes_N_and_matches_sync_order():
+    x, y = make_pairs(8, 8, seed=0)
+    sync = Hdf5Iterator(x, y, bs=4)
+    pf = Prefetcher(Hdf5Iterator(x, y, bs=4), size=2)
+    assert pf.N == 8  # drop-in for the trainer's itr.N // batch_size
+    for _ in range(4):  # across an epoch boundary (reshuffle)
+        xs, _ = next(sync)
+        xp, _ = next(pf)
+        np.testing.assert_allclose(np.asarray(xp), xs)
+    pf.close()
+
+
+def test_prefetcher_finite_iterator_stops_cleanly():
+    batches = [(np.ones((2, 4, 4, 1), np.float32),) for _ in range(3)]
+    pf = Prefetcher(iter(batches), size=2)
+    got = list(pf)
+    assert len(got) == 3
+    with pytest.raises(StopIteration):  # keeps raising after exhaustion
+        next(pf)
+    pf.close()
+
+
+def test_prefetcher_close_unblocks_full_queue():
+    def gen():  # infinite producer: worker will block on the full queue
+        while True:
+            yield (np.zeros((1,), np.float32),)
+
+    pf = Prefetcher(gen(), size=1)
+    next(pf)
+    import time
+
+    time.sleep(0.2)  # let the worker fill the queue and block in put
+    pf.close()
+    assert not pf._thread.is_alive()
+    with pytest.raises(StopIteration):
+        next(pf)
+
+
+def test_prefetcher_propagates_iterator_errors():
+    def gen():
+        yield (np.zeros((1,), np.float32),)
+        raise RuntimeError("boom in producer")
+
+    pf = Prefetcher(gen(), size=2)
+    next(pf)
+    with pytest.raises(RuntimeError, match="boom in producer"):
+        next(pf)
+    pf.close()
+
+
+def test_prefetcher_places_on_requested_device():
+    dev = jax.devices()[0]
+    pf = Prefetcher(iter([(np.zeros((2, 2), np.float32),)]), devices=dev)
+    (arr,) = next(pf)
+    assert arr.devices() == {dev}
+    pf.close()

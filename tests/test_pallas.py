@@ -55,3 +55,79 @@ def test_resize_dispatch_flag(monkeypatch, rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(upsample_bilinear_2x(x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------- conv stem (cin=1)
+
+from terrain_tpu.ops.pallas import conv_stem as cs
+
+
+def _xla_ref(x, w, b):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b
+
+
+@pytest.mark.parametrize("shape,f", [((2, 16, 16, 1), 8), ((1, 24, 32, 1), 16)])
+def test_conv_stem_forward_matches_xla(shape, f, rng, monkeypatch):
+    monkeypatch.setattr(cs, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 1, f).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(f).astype(np.float32))
+    got = cs.conv_stem(x, w, b)
+    want = _xla_ref(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_stem_grads_match_xla(rng, monkeypatch):
+    monkeypatch.setattr(cs, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(2, 16, 16, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 1, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+
+    def loss_pl(x, w, b):
+        return jnp.sum(cs.conv_stem(x, w, b) * cot)
+
+    def loss_xla(x, w, b):
+        return jnp.sum(_xla_ref(x, w, b) * cot)
+
+    gx_p, gw_p, gb_p = jax.grad(loss_pl, argnums=(0, 1, 2))(x, w, b)
+    gx_x, gw_x, gb_x = jax.grad(loss_xla, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_stem_regime_guard():
+    # the hot DCGAN-disc stem shape on TPU
+    assert cs.supported((8, 512, 512, 1), (5, 5, 1, 64), (1, 1), "same",
+                        backend="tpu")
+    # wrong kernel/stride/cin/backend or misaligned spatial dims -> XLA
+    assert not cs.supported((8, 512, 512, 1), (5, 5, 1, 64), (1, 1), "same",
+                            backend="cpu")
+    assert not cs.supported((8, 512, 512, 4), (5, 5, 4, 64), (1, 1), "same",
+                            backend="tpu")
+    assert not cs.supported((8, 512, 512, 1), (3, 3, 1, 64), (1, 1), "same",
+                            backend="tpu")
+    assert not cs.supported((8, 512, 512, 1), (5, 5, 1, 64), (2, 2), "same",
+                            backend="tpu")
+    assert not cs.supported((8, 512, 500, 1), (5, 5, 1, 64), (1, 1), "same",
+                            backend="tpu")
+    assert not cs.supported((8, 128, 128, 1), (5, 5, 1, 64), (1, 1), "same",
+                            backend="tpu")
+
+
+def test_conv2d_dispatch_uses_xla_off_tpu(rng):
+    # on CPU the public conv2d must not enter the pallas path
+    from terrain_tpu.ops.conv import conv2d
+
+    x = jnp.asarray(rng.randn(1, 256, 256, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 1, 8).astype(np.float32) * 0.1)
+    out = conv2d(x, w, stride=1, padding="same")
+    assert out.shape == (1, 256, 256, 8)

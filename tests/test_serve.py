@@ -66,6 +66,38 @@ def test_microbatcher_respects_max_batch_rows():
     mb.shutdown()
 
 
+def test_microbatcher_shutdown_fails_pending_futures():
+    """shutdown() must not leave queued requests hanging: clients blocked in
+    future.result() get a 'shutting down' error instead of waiting forever."""
+    entered = threading.Event()
+    gate = threading.Event()
+
+    def run(op, requests):
+        entered.set()
+        gate.wait(timeout=10)  # hold the worker so later submits stay queued
+        return requests
+
+    mb = MicroBatcher(run, max_batch=1, wait_ms=0.0)
+    f1 = mb.submit("op", 1, 1)
+    assert entered.wait(timeout=5)
+    f2 = mb.submit("op", 2, 1)  # queued behind the in-flight batch
+    mb.shutdown()  # joins (worker still gated), then drains the queue
+    with pytest.raises(RuntimeError, match="shutting down"):
+        f2.result(timeout=5)
+    gate.set()  # release the worker; its in-flight batch still completes
+    assert f1.result(timeout=5) == 1
+
+
+def test_microbatcher_stats_snapshot():
+    mb = MicroBatcher(lambda op, rs: rs, max_batch=2, wait_ms=0.0)
+    futs = [mb.submit("op", i, 1) for i in range(4)]
+    for f in futs:
+        f.result(timeout=10)
+    snap = mb.snapshot()
+    assert snap["requests"] == 4 and snap["rows"] == 4
+    mb.shutdown()
+
+
 # ---------------------------------------------------------------- end-to-end
 
 IN_SHP = 16

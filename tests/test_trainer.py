@@ -187,6 +187,22 @@ def test_nan_guard(tmp_path, monkeypatch):
                 quick_run=True)
 
 
+def test_checkify_nan_guard_localizes(tmp_path, monkeypatch):
+    """TERRAIN_CHECK_NANS=2 compiles the step under checkify float checks:
+    a poisoned parameter raises at the producing op (with a source
+    location), not as a non-finite epoch loss."""
+    monkeypatch.setenv("TERRAIN_CHECK_NANS", "2")
+    import jax.numpy as jnp
+
+    m = tiny_model()
+    m.params["p2p_gen"]["enc"][0]["conv"]["w"] = (
+        m.params["p2p_gen"]["enc"][0]["conv"]["w"] * jnp.nan)
+    it_train, it_val = _iters()
+    with pytest.raises(Exception, match="(?i)nan"):
+        m.train(it_train, it_val, 4, 1, str(tmp_path / "o"), None,
+                quick_run=True)
+
+
 def test_swd_tracking_hook(tmp_path, monkeypatch):
     monkeypatch.setenv("TERRAIN_SWD", "1")
     m = tiny_model()
