@@ -39,6 +39,7 @@ from terrain_tpu.models.core import (
 )
 from terrain_tpu.ops import (
     batch_norm,
+    bilinear2x_conv3x3,
     conv2d,
     conv2d_transpose,
     get_activation,
@@ -158,8 +159,10 @@ def g_unet(
             if j == 0:
                 x = conv2d_transpose(x, p["deconv"]["w"], p["deconv"]["b"], stride=1, compute_dtype=cd)
             elif bilinear_upsample:
-                x = upsample_bilinear_2x(x)
-                x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=1, padding="same", compute_dtype=cd)
+                # fused upsample+conv (Pallas on TPU in-regime, exact
+                # composite elsewhere) — see ops/fused.bilinear2x_conv3x3
+                x = bilinear2x_conv3x3(x, p["conv"]["w"], p["conv"]["b"],
+                                       compute_dtype=cd)
             else:
                 x = conv2d_transpose(x, p["deconv"]["w"], p["deconv"]["b"], stride=2, compute_dtype=cd)
             x, ns_bn = batch_norm(x, p["bn"], s["bn"], train=train)

@@ -82,6 +82,31 @@ def upsample2x_nearest_conv(x, w, b=None, *, compute_dtype=None):
     return y
 
 
+def bilinear2x_conv3x3(x, w, b=None, *, compute_dtype=None):
+    """Bilinear x2 upsample followed by a 3x3 'same' conv (the U-Net
+    decoder's `bilinear_upsample` stage, reference p2p.py:205-267).
+
+    On TPU, large-spatial stages dispatch to the fused Pallas kernel
+    (ops/pallas/bilinear_conv.py) that never materializes the 2x-resolution
+    intermediate in HBM; otherwise (CPU, off-regime, TERRAIN_PALLAS_CONV=0)
+    the exact unfused composite runs.
+    """
+    import os
+
+    cd = compute_dtype or x.dtype
+    if os.environ.get("TERRAIN_PALLAS_CONV", "1") != "0":
+        from terrain_tpu.ops.pallas import bilinear_conv as _bc
+
+        if _bc.supported(x.shape, w.shape):
+            bb = b if b is not None else jnp.zeros((w.shape[-1],), cd)
+            return _bc.bilinear2x_conv3x3_pallas(
+                x.astype(cd), w.astype(cd), bb)
+    from terrain_tpu.ops.resize import upsample_bilinear_2x
+
+    up = upsample_bilinear_2x(x)
+    return conv2d(up, w, b, stride=1, padding="same", compute_dtype=cd)
+
+
 def deconv2x2(x, w, b=None, *, compute_dtype=None):
     """Exactly conv2d_transpose(x, w, stride=2) for k=2: non-overlapping
     2x2 scatter of the flipped kernel == matmul + depth-to-space.

@@ -131,3 +131,63 @@ def test_conv2d_dispatch_uses_xla_off_tpu(rng):
     w = jnp.asarray(rng.randn(5, 5, 1, 8).astype(np.float32) * 0.1)
     out = conv2d(x, w, stride=1, padding="same")
     assert out.shape == (1, 256, 256, 8)
+
+
+# ------------------------------------- fused bilinear x2 + conv3x3 decoder
+
+from terrain_tpu.ops.pallas import bilinear_conv as bc
+
+
+@pytest.mark.parametrize("shape,f", [
+    ((1, 16, 16, 8), 8),     # single tile: zero-halo borders on all sides
+    ((2, 32, 48, 8), 16),    # multi-tile grid: interior halos + borders
+    ((1, 16, 16, 256), 8),   # channel chunking (2 chunks of 128)
+])
+def test_bilinear_conv_fused_matches_composite(shape, f, rng, monkeypatch):
+    monkeypatch.setattr(bc, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, shape[-1], f).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(f).astype(np.float32))
+    got = bc.bilinear2x_conv3x3_pallas(x, w, b)
+    want = bc._xla_composite(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_conv_fused_grads_match_composite(rng, monkeypatch):
+    monkeypatch.setattr(bc, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(1, 32, 32, 8).astype(np.float32))
+    g_p = jax.grad(lambda *a: jnp.sum(bc.bilinear2x_conv3x3_pallas(*a) * cot),
+                   argnums=(0, 1, 2))(x, w, b)
+    g_x = jax.grad(lambda *a: jnp.sum(bc._xla_composite(*a) * cot),
+                   argnums=(0, 1, 2))(x, w, b)
+    for p, q in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_conv_regime_guard():
+    # flagship decoder stages on TPU
+    assert bc.supported((4, 128, 128, 128), (3, 3, 128, 64), backend="tpu")
+    assert bc.supported((4, 32, 32, 512), (3, 3, 512, 128), backend="tpu")
+    assert not bc.supported((4, 128, 128, 128), (3, 3, 128, 64),
+                            backend="cpu")
+    assert not bc.supported((4, 8, 8, 512), (3, 3, 512, 256), backend="tpu")
+    assert not bc.supported((4, 128, 128, 128), (5, 5, 128, 64),
+                            backend="tpu")
+
+
+def test_fused_op_public_dispatch_cpu(rng):
+    # off-TPU the public op runs the exact composite
+    from terrain_tpu.ops import bilinear2x_conv3x3
+
+    x = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    got = bilinear2x_conv3x3(x, w, b)
+    want = bc._xla_composite(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
