@@ -430,6 +430,9 @@ def smoke_synthetic(mode):
     os.environ.setdefault("TERRAIN_SYNTHETIC", "1")
     os.environ.setdefault("TERRAIN_N", "16")
     os.environ.setdefault("TERRAIN_EPOCHS", "2")
+    # default save cadence (10) would outlive the 2-epoch run, leaving no
+    # checkpoint for this experiment's own gen/interp modes
+    os.environ.setdefault("TERRAIN_SAVE_EVERY", "2")
     model = _build_smoke()
     name = "smoke_synthetic"
     bs = int(_env("TERRAIN_BS", "4"))

@@ -22,9 +22,11 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 def _try_pallas_stem(x, w, b, stride, padding, cd):
     """Auto-dispatch the tiny-cin 5x5 s1 stem conv to the Pallas kernel on
     TPU (the ~600x-off-roofline XLA shape, docs/ROADMAP.md item 1).  Regime
-    checks live in ops/pallas/conv_stem.supported; TERRAIN_PALLAS_CONV=0
-    opts out.  Returns None when the XLA path should run."""
-    if os.environ.get("TERRAIN_PALLAS_CONV", "1") == "0":
+    checks live in ops/pallas/conv_stem.supported; TERRAIN_PALLAS_STEM=0
+    opts out of this kernel alone, TERRAIN_PALLAS_CONV=0 of all conv-path
+    Pallas kernels.  Returns None when the XLA path should run."""
+    master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
+    if os.environ.get("TERRAIN_PALLAS_STEM", master) == "0" or master == "0":
         return None
     from terrain_tpu.ops.pallas import conv_stem as _cs
 

@@ -88,13 +88,15 @@ def bilinear2x_conv3x3(x, w, b=None, *, compute_dtype=None):
 
     On TPU, large-spatial stages dispatch to the fused Pallas kernel
     (ops/pallas/bilinear_conv.py) that never materializes the 2x-resolution
-    intermediate in HBM; otherwise (CPU, off-regime, TERRAIN_PALLAS_CONV=0)
-    the exact unfused composite runs.
+    intermediate in HBM; otherwise (CPU, off-regime, TERRAIN_PALLAS_DECODER=0
+    or the TERRAIN_PALLAS_CONV=0 master switch) the exact unfused composite
+    runs.
     """
     import os
 
     cd = compute_dtype or x.dtype
-    if os.environ.get("TERRAIN_PALLAS_CONV", "1") != "0":
+    master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
+    if os.environ.get("TERRAIN_PALLAS_DECODER", master) != "0" and master != "0":
         from terrain_tpu.ops.pallas import bilinear_conv as _bc
 
         if _bc.supported(x.shape, w.shape):

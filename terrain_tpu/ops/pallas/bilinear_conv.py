@@ -112,7 +112,12 @@ def supported(x_shape, w_shape, backend=None):
     return (kh == 3 and kw == 3 and ci == c
             and h >= MIN_SPATIAL and w >= MIN_SPATIAL
             and bool(_pick_tile(h, TILE)) and bool(_pick_tile(w, TILE))
-            and c % ct == 0 and c % 8 == 0 and f % 8 == 0 and f <= 1024)
+            and c % ct == 0 and c % 8 == 0 and f % 8 == 0 and f <= 1024
+            # VMEM budget (~16 MB/core): fp32 weights (9*c*f*4) + fp32 acc +
+            # double-buffered out block must fit beside the upsample tiles;
+            # measured on-chip: 512x128 fits, 1024x256 overflows ("exceeded
+            # vmem" at allocation) -> cap the weight plane
+            and c * f <= 512 * 128)
 
 
 _INTERPRET = False  # tests flip this to exercise the kernel on CPU

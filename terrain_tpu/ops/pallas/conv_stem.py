@@ -48,43 +48,66 @@ def _w_pad(w):
     return ((w + 4 + 127) // 128) * 128
 
 
-def _fwd_kernel(xp_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
+def _row_patches(scratch, y, W):
+    """(25, W) patch matrix for output row y: row t=(dy,dx) is the input row
+    shifted by (dy, dx), read from the dx-pre-shifted plane stack
+    `scratch` (K, TH+8, Wp) at lane offset 0.
+
+    Why planes: slicing one buffer at lane starts dx=0..4 bakes the offset
+    into the vector's layout metadata, and tpu.concatenate rejects inputs
+    whose offsets differ on a non-concat dim ("result/input offset
+    mismatch"); a dynamic lane start instead must be provably 128-aligned
+    ("cannot statically prove that index in dimension 1 is a multiple of
+    128"); jnp.stack needs an unsupported (8,128)->(8,128,1) relayout.
+    All three measured on real Mosaic (docs/RESULTS_r2.md) — shifting
+    XLA-side into K planes keeps every in-kernel load at lane offset 0
+    (sublane offsets may differ: dim 0 is the concat dim)."""
+    return jnp.concatenate(
+        [scratch[dx, pl.ds(y + dy, 1), pl.ds(0, W)]
+         for dy in range(K) for dx in range(K)], axis=0)
+
+
+def _fwd_kernel(xs_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
     n = pl.program_id(0)
     hb = pl.program_id(1)
-    # rows [hb*TH - 2, hb*TH + TH + 6) of the unpadded image (xp has 2 lo pad)
+    # rows [hb*TH - 2, hb*TH + TH + 6) of the unpadded image (xp has 2 lo
+    # pad), all K dx-shifted planes in one strided DMA
     dma = pltpu.make_async_copy(
-        xp_hbm.at[n, pl.ds(hb * TH, TH + 8), pl.ds(0, Wp)],
+        xs_hbm.at[n, pl.ds(0, K), pl.ds(hb * TH, TH + 8), pl.ds(0, Wp)],
         scratch,
         sem,
     )
     dma.start()
     dma.wait()
-    s = scratch[:]
-    # patches[(y, x), (dy, dx)] = s[y + dy, x + dx]  (y < TH, x < W)
-    taps = [s[dy:dy + TH, dx:dx + W] for dy in range(K) for dx in range(K)]
-    patches = jnp.stack(taps, axis=-1).reshape(TH * W, K * K)
-    out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
-    out = out + b_ref[0]
-    out_ref[0] = out.reshape(TH, W, F).astype(out_ref.dtype)
+    b = b_ref[0]
+    # one MXU dot per output row: (25, W) contracted on dim0 with (25, F)
+    for y in range(TH):
+        row = jax.lax.dot_general(
+            _row_patches(scratch, y, W), w_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (W, F)
+        out_ref[0, y] = (row + b).astype(out_ref.dtype)
 
 
-def _dw_kernel(xp_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
+def _dw_kernel(xs_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
     n = pl.program_id(0)
     hb = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        xp_hbm.at[n, pl.ds(hb * TH, TH + 8), pl.ds(0, Wp)],
+        xs_hbm.at[n, pl.ds(0, K), pl.ds(hb * TH, TH + 8), pl.ds(0, Wp)],
         scratch,
         sem,
     )
     dma.start()
     dma.wait()
-    s = scratch[:]
-    taps = [s[dy:dy + TH, dx:dx + W] for dy in range(K) for dx in range(K)]
-    patches = jnp.stack(taps, axis=-1).reshape(TH * W, K * K)
-    g = g_ref[0].reshape(TH * W, F).astype(jnp.float32)
-    part = jax.lax.dot_general(  # (25, M) @ (M, F): contraction over pixels
-        patches, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    part = jnp.zeros((K * K, F), jnp.float32)
+    # per output row: (25, W) patches x (W, F) grads -> (25, F), contraction
+    # over the W pixels (K = 512 fills the MXU depth)
+    for y in range(TH):
+        g = g_ref[0, y].astype(jnp.float32)  # (W, F)
+        part = part + jax.lax.dot_general(
+            _row_patches(scratch, y, W), g,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     part32 = jnp.concatenate(  # pad rows 25 -> 32: 8-aligned full-block RMW
         [part, jnp.zeros((32 - K * K, F), jnp.float32)], axis=0)
     first = jnp.logical_and(n == 0, hb == 0)
@@ -96,30 +119,42 @@ def _dw_kernel(xp_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
     out_ref[:] += part32  # grid is sequential on TPU: safe accumulation
 
 
-def _dx_kernel(gp_hbm, w_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
-    """dX row band: h = g_halo @ W^T (one dot), then 25 shifted adds.
+def _dx_kernel(gt_hbm, w_ref, out_ref, scratch, bstash, sem, *, TH, W, Wp, F):
+    """dX row band from the TRANSPOSED cotangent gT (N, Hp, F, Wp).
 
-    dX[y, x] = sum_{dy,dx} g[y + 2 - dy, x + 2 - dx] * w[dy, dx]
-             = sum_{dy,dx} gh[y + (4-dy) - 2, ...]  with gh 2-lo-padded,
-    i.e. tap (dy, dx) of h is read at shifted offset (4-dy, 4-dx)."""
+    dX[y, x] = sum_{dy,dx,f} g[y + 2 - dy, x + 2 - dx, f] * w[dy, dx, f];
+    with gp 2-lo-padded, output row y reads gp band row rp = y + (4 - dy)
+    at column offset 4 - dx.  Per band row: ONE dot B = w(25,F) @ r(F,Wp)
+    (so B rows are taps, W stays on lanes), then static shifted row-adds.
+    The transposed layout exists because contracting F any other way lands
+    W on sublanes, and real Mosaic has no cheap (Wp,k)->(1,W) relayout."""
     n = pl.program_id(0)
     hb = pl.program_id(1)
     dma = pltpu.make_async_copy(
-        gp_hbm.at[n, pl.ds(hb * TH, TH + 8), pl.ds(0, Wp), pl.ds(0, F)],
+        gt_hbm.at[n, pl.ds(hb * TH, TH + 8), pl.ds(0, F), pl.ds(0, Wp)],
         scratch,
         sem,
     )
     dma.start()
     dma.wait()
-    gh = scratch[:].reshape((TH + 8) * Wp, F).astype(jnp.float32)
-    h = jnp.dot(gh, w_ref[:], preferred_element_type=jnp.float32)
-    h = h.reshape(TH + 8, Wp, K * K)
-    acc = jnp.zeros((TH, W), jnp.float32)
-    for dy in range(K):
-        for dx in range(K):
-            t = dy * K + dx
-            acc = acc + h[4 - dy:4 - dy + TH, 4 - dx:4 - dx + W, t]
-    out_ref[0] = acc.astype(out_ref.dtype)
+    acc = [jnp.zeros((1, W), jnp.float32) for _ in range(TH)]
+    for rp in range(TH + 8):
+        r = scratch[rp].astype(jnp.float32)  # (F, Wp)
+        B = jax.lax.dot_general(
+            w_ref[:], r, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (25, Wp)
+        # round-trip B through VMEM so the shifted tap slices are ref loads
+        # (canonical lane offset) — vector slices at offsets 1..4 feed adds
+        # Mosaic won't relayout (same failure class as _row_patches)
+        bstash[0:K * K] = B
+        for dy in range(K):
+            y = rp - (4 - dy)
+            if 0 <= y < TH:
+                for dx in range(K):
+                    t = dy * K + dx
+                    acc[y] = acc[y] + bstash[pl.ds(t, 1), pl.ds(4 - dx, W)]
+    for y in range(TH):
+        out_ref[0, y] = acc[y][0].astype(out_ref.dtype)
 
 
 def _pick_th(h, dtype):
@@ -147,6 +182,16 @@ def supported(x_shape, w_shape, stride, padding, backend=None):
             and _pick_th(h, None) != 0)
 
 
+def _plane_stack(x2d, wp):
+    """(N, H, W) -> (N, K, H+8, Wp): K dx-shifted copies of the padded image
+    so every kernel load is lane-offset-0 (see _row_patches).  Plane dx
+    holds xp shifted left by dx lanes."""
+    xp = _pad_rows(x2d, wp)
+    return jnp.stack(
+        [jnp.pad(xp[:, :, dx:], ((0, 0), (0, 0), (0, dx))) for dx in range(K)],
+        axis=1)
+
+
 def _pad_rows(x2d, wp):
     """(N, H, W) -> (N, H + 8, Wp): 2 lo / 6 hi rows, 2 lo cols, zeros."""
     n, h, w = x2d.shape
@@ -158,7 +203,7 @@ def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False):
     kh, kw, _, f = w.shape
     TH = _pick_th(h, x.dtype)
     Wp = _w_pad(wdt)
-    xp = _pad_rows(x[..., 0].astype(jnp.float32), Wp)
+    xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
     wm = w.reshape(K * K, f).astype(jnp.float32)
     bm = b.reshape(1, f).astype(jnp.float32)
     kern = functools.partial(_fwd_kernel, TH=TH, W=wdt, Wp=Wp, F=f)
@@ -175,18 +220,20 @@ def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wdt, f), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 8, Wp), jnp.float32),
+            pltpu.VMEM((K, TH + 8, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, wm, bm)
+    )(xs, wm, bm)
 
 
 def _conv_stem_dw_pallas(x, g, f, interpret=False):
     n, h, wdt, _ = x.shape
-    TH = _pick_th(h, x.dtype)
+    # tighter band than fwd: the (1, TH, W, F) grad block + K input planes
+    # overflow VMEM at TH=32 (measured on-chip: "exceeded vmem" at alloc)
+    TH = min(_pick_th(h, x.dtype), 16)
     Wp = _w_pad(wdt)
-    xp = _pad_rows(x[..., 0].astype(jnp.float32), Wp)
+    xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
     kern = functools.partial(_dw_kernel, TH=TH, W=wdt, Wp=Wp, F=f)
     # output rows padded 25 -> 32 for sublane alignment; sliced by caller
     out = pl.pallas_call(
@@ -201,11 +248,11 @@ def _conv_stem_dw_pallas(x, g, f, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((32, f), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TH + 8, Wp), jnp.float32),
+            pltpu.VMEM((K, TH + 8, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, g)
+    )(xs, g)
     return out[:K * K].reshape(K, K, 1, f)
 
 
@@ -213,10 +260,11 @@ def _conv_stem_dx_pallas(g, w, out_dtype, interpret=False):
     n, h, wdt, f = g.shape
     TH = _pick_th(h, g.dtype)
     Wp = _w_pad(wdt)
-    gp = jnp.pad(g.astype(jnp.float32),
-                 ((0, 0), (PAD_LO, 6), (PAD_LO, Wp - wdt - PAD_LO), (0, 0)))
-    # h-tensor tap t=(dy,dx) contracts g with w[dy,dx,:]: (F, 25) transposed
-    wt = w.reshape(K * K, f).astype(jnp.float32).T  # (F, 25)
+    gp = jnp.pad(g, ((0, 0), (PAD_LO, 6), (PAD_LO, Wp - wdt - PAD_LO), (0, 0)))
+    # transpose so each band row slices as (F, Wp) with W on lanes; the
+    # (N,Hp,Wp,F)->(N,Hp,F,Wp) relayout is XLA-side (see _dx_kernel)
+    gt = jnp.transpose(gp, (0, 1, 3, 2))
+    wm = w.reshape(K * K, f).astype(jnp.float32)  # (25, F)
     kern = functools.partial(_dx_kernel, TH=TH, W=wdt, Wp=Wp, F=f)
     out = pl.pallas_call(
         kern,
@@ -229,11 +277,12 @@ def _conv_stem_dx_pallas(g, w, out_dtype, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wdt), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((TH + 8, Wp, f), jnp.float32),
+            pltpu.VMEM((TH + 8, f, Wp), gt.dtype),
+            pltpu.VMEM((K * K, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(gp, wt)
+    )(gt, wm)
     return out[..., None]
 
 
@@ -266,7 +315,7 @@ def _conv_stem_fwd(x, w, b):
 def _conv_stem_bwd(res, g):
     x, w = res
     f = w.shape[-1]
-    dw = _conv_stem_dw_pallas(x, g.astype(jnp.float32), f,
+    dw = _conv_stem_dw_pallas(x, g, f,
                               interpret=_INTERPRET).astype(w.dtype)
     dx = _conv_stem_dx_pallas(g, w, x.dtype, interpret=_INTERPRET)
     db = g.sum(axis=(0, 1, 2)).astype(jnp.float32)

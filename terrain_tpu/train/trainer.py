@@ -333,6 +333,12 @@ class TwoStageGAN:
                  "w" if not resume else "a")
         if not resume:
             f.write(",".join(header) + "\n")
+            cap = os.environ.get("TERRAIN_EVAL_STEPS")
+            if cap:
+                # deviation marker: with the cap, valid_* columns are means
+                # over `cap` batches, not the full split (VERDICT r1 weak #5)
+                f.write(f"# TERRAIN_EVAL_STEPS={cap}: valid_* averaged over "
+                        f"{cap} batches/epoch, not the full split\n")
             f.flush()
             if self.verbose:
                 print(",".join(header))
