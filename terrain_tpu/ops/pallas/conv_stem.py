@@ -201,7 +201,10 @@ def _pad_rows(x2d, wp):
 def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False):
     n, h, wdt, _ = x.shape
     kh, kw, _, f = w.shape
-    TH = _pick_th(h, x.dtype)
+    # TH=32 fits standalone but exceeded the scoped-VMEM limit by ~500K when
+    # embedded in the full fp32 train step (double-buffered (1,TH,W,F) out
+    # block); 16 holds in both dtypes with margin
+    TH = min(_pick_th(h, x.dtype), 16)
     Wp = _w_pad(wdt)
     xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
     wm = w.reshape(K * K, f).astype(jnp.float32)

@@ -513,16 +513,20 @@ class TwoStageGAN:
         return best, int(os.path.basename(best).split(".")[0])
 
     def _dump_architectures(self, out_dir):
-        """Best-effort per-layer shape/param summaries (the reference wrote
-        nolearn arch diagrams in a bare try/except, pix2pix.py:226-233)."""
+        """Per-layer shape/param summaries + block-diagram PNGs (the
+        reference wrote nolearn arch diagrams in a bare try/except,
+        pix2pix.py:226-233 — same best-effort contract here)."""
         if not self.verbose:
             return
         try:
             from terrain_tpu.models.core import describe
+            from terrain_tpu.utils.arch_diagram import draw_network
 
             for name, net in self.nets.items():
                 with open(os.path.join(out_dir, f"arch_{name}.txt"), "w") as g:
                     g.write(describe(net, self.params[name], self.states[name]))
+                draw_network(net, self.params[name],
+                             os.path.join(out_dir, f"arch_{name}.png"))
         except Exception:
             pass
 

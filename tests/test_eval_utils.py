@@ -66,3 +66,22 @@ def test_async_writer_runs_and_surfaces_errors(tmp_path):
     with pytest.raises(RuntimeError):
         w.flush()
     w.close()
+
+
+def test_arch_diagram_renders(tmp_path):
+    """Block-diagram PNG for a real factory: one box per param block, file
+    written (reference parity: nolearn draw_to_file, pix2pix.py:226-233)."""
+    import jax
+
+    from terrain_tpu.models import dcgan
+    from terrain_tpu.utils.arch_diagram import draw_network
+
+    net = dcgan.default_generator(latent_dim=16, is_a_grayscale=True,
+                                  nch=16, h=2, initial_size=4, final_size=16,
+                                  div=[2, 2])
+    params, _ = net.init(jax.random.PRNGKey(0))
+    out = tmp_path / "arch.png"
+    n = draw_network(net, params, str(out))
+    assert out.exists() and out.stat().st_size > 5000
+    # dense+bn_in, 2 stages x (conv+bn), conv_out
+    assert n >= 5
