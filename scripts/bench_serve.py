@@ -1,0 +1,99 @@
+"""Serving benchmark on the real chip: requests/s and latency percentiles.
+
+Starts the serve CLI in-process-group (earth_demo config by default — the
+128px two-stage model — or the 512px flagship with --experiment), warms up,
+then drives it with N closed-loop client threads issuing `generate`
+requests (full two-stage z -> heightmap -> texture) and reports throughput
++ p50/p90/p99 latency as a JSON line for docs/RESULTS_r2.md.
+
+Usage: python scripts/bench_serve.py [--experiment earth_demo]
+       [--clients 4] [--requests 80] [--port 7655]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--experiment", default="earth_demo")
+    ap.add_argument("--clients", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=80)
+    ap.add_argument("--port", type=int, default=7655)
+    ap.add_argument("--texture", action="store_true", default=True)
+    args = ap.parse_args()
+
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "terrain_tpu.serve", args.experiment,
+         "--no-weights", "--warmup", "--port", str(args.port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        from terrain_tpu.serve.client import TerrainClient
+
+        # wait for warmup (compiles every bucket size through the relay)
+        deadline = time.time() + 1200
+        while time.time() < deadline:
+            try:
+                with TerrainClient(port=args.port, timeout=5) as c:
+                    if c.health().get("ok"):
+                        break
+            except OSError:
+                time.sleep(2.0)
+        else:
+            raise RuntimeError("server never became healthy")
+
+        lat = []
+        lock = threading.Lock()
+        per_client = args.requests // args.clients
+
+        def worker(ci):
+            with TerrainClient(port=args.port, timeout=600) as c:
+                for r in range(per_client):
+                    t0 = time.perf_counter()
+                    c.generate(1, seed=ci * 10007 + r, texture=args.texture)
+                    dt = time.perf_counter() - t0
+                    with lock:
+                        lat.append(dt)
+
+        # measured section (server already warm from health + warmup)
+        with TerrainClient(port=args.port, timeout=600) as c:
+            c.generate(1, seed=0, texture=args.texture)  # e2e warm check
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(args.clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        lat.sort()
+        n = len(lat)
+        out = {
+            "experiment": args.experiment,
+            "clients": args.clients,
+            "requests": n,
+            "req_per_s": round(n / wall, 2),
+            "p50_ms": round(lat[n // 2] * 1e3, 1),
+            "p90_ms": round(lat[int(n * 0.9)] * 1e3, 1),
+            "p99_ms": round(lat[min(n - 1, int(n * 0.99))] * 1e3, 1),
+        }
+        print(json.dumps(out))
+        with open("/tmp/bench_serve.json", "w") as f:
+            json.dump(out, f)
+    finally:
+        srv.terminate()
+        try:
+            srv.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            srv.kill()
+
+
+if __name__ == "__main__":
+    main()
