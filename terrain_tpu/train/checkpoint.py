@@ -45,7 +45,10 @@ def save_model(filename, params, states, extra=None):
     # atomic write: a crash mid-save must never leave a corrupt checkpoint
     # (SURVEY.md §5 failure-recovery; pairs with trainer resume='auto')
     tmp = f"{filename}.tmp"
-    with gzip.open(tmp, "wb") as f:
+    # compresslevel 1: the default (9) spent 60-90 s/checkpoint gzipping
+    # ~450 MB of fp32 state on this 1-core host (measured round 2); level 1
+    # is ~6x faster at ~15% larger files, same gzip format
+    with gzip.open(tmp, "wb", compresslevel=1) as f:
         pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
     import os
 

@@ -41,7 +41,8 @@ from terrain_tpu.train.losses import TRAIN_KEYS
 from terrain_tpu.train.optim import get_optimizer
 from terrain_tpu.train.schedule import ReduceLROnPlateau
 from terrain_tpu.train.step import ACTIVE, build_eval_step, build_train_step
-from terrain_tpu.utils import compose_imgs, convert_to_rgb, save_png, write_image_grid
+from terrain_tpu.utils import (compose_imgs, convert_to_rgb, save_png,
+                               save_png_u8, to_u8_device, write_image_grid)
 from terrain_tpu.utils.async_writer import AsyncWriter
 
 
@@ -160,6 +161,9 @@ class TwoStageGAN:
 
     def _save_png(self, path, img01):
         self._writer.submit(save_png, path, img01)
+
+    def _save_png_u8(self, path, img_u8):
+        self._writer.submit(save_png_u8, path, img_u8)
 
     def flush_artifacts(self):
         if getattr(self, "_writer_", None) is not None:
@@ -427,20 +431,22 @@ class TwoStageGAN:
         Columns follow the stage(s) active in `train_mode`."""
         from terrain_tpu.eval import swd_pyramid
 
-        pairs = [(np.asarray(X), np.asarray(Y)) for X, Y in self._batches_from(
-            it_val, batch_size, max(n // batch_size, 1))]
-        real_a = np.concatenate([p[0] for p in pairs])[:n]
-        real_b = np.concatenate([p[1] for p in pairs])[:n]
+        # device-resident throughout: fetching fp32 512px batches to host
+        # and re-uploading cost ~19 s/epoch on the relay (RESULTS_r2.md)
+        pairs = list(self._batches_from(it_val, batch_size,
+                                        max(n // batch_size, 1)))
+        real_a = jnp.concatenate([p[0] for p in pairs])[:n]
+        real_b = jnp.concatenate([p[1] for p in pairs])[:n]
         levels = max(1, min(3, int(np.log2(self.in_shp)) - 3))
         # fixed seed: same projections/patches every epoch so the trend is
         # comparable across epochs
         out = {}
         if self.train_mode in ("both", "dcgan"):
             z = _floatX(self.sampler(real_a.shape[0], self.latent_dim))
-            fake_a = np.asarray(self._z_fn(z, deterministic=True))
+            fake_a = self._z_fn(z, deterministic=True)
             out.update(swd_pyramid(real_a, fake_a, seed=0, n_levels=levels))
         if self.train_mode in ("both", "p2p"):
-            fake_b = np.asarray(self._gen_fn(real_a, deterministic=True))
+            fake_b = self._gen_fn(real_a, deterministic=True)
             out.update({f"p2p_{k}": v for k, v in
                         swd_pyramid(real_b, fake_b, seed=0, n_levels=levels).items()})
         path = os.path.join(out_dir, "swd.txt")
@@ -480,9 +486,16 @@ class TwoStageGAN:
         for X, Y in self._batches_from(itr, batch_size, N * N):
             bp = self._g_stoch(self.params["p2p_gen"], self.states["p2p_gen"],
                                X, self._next_rng())
-            imgs.append(compose_imgs(np.asarray(X[0]), np.asarray(bp[0]),
-                                     is_a_grayscale=self.is_a_grayscale,
-                                     is_b_grayscale=self.is_b_grayscale))
+            # device-side uint8 of just the first pair of each batch (the
+            # only one the grid shows); fp32 full-batch fetches dominated
+            a8 = np.asarray(to_u8_device(X[0], self.is_a_grayscale))
+            b8 = np.asarray(to_u8_device(bp[0], self.is_b_grayscale))
+            if a8.shape[-1] == 1:
+                a8 = np.repeat(a8, 3, axis=-1)
+            if b8.shape[-1] == 1:
+                b8 = np.repeat(b8, 3, axis=-1)
+            imgs.append(np.concatenate([a8, b8], axis=1).astype(np.float32)
+                        / 255.0)
 
         def _render(out_path, imgs, N):
             import matplotlib
@@ -623,12 +636,13 @@ class TwoStageGAN:
         ctr = 0
         for X, Y in self._batches_from(itr, batch_size, num_batches):
             pred = Y if dont_predict else self._gen_fn(X, deterministic)
-            X, pred = np.asarray(X), np.asarray(pred)
+            # quantize on device: uint8 fetches are 4x smaller, and relay
+            # fetch bandwidth dominates artifact epochs (docs/RESULTS_r2.md)
+            X = np.asarray(to_u8_device(X, self.is_a_grayscale))
+            pred = np.asarray(to_u8_device(pred, self.is_b_grayscale))
             for i in range(pred.shape[0]):
-                self._save_png(os.path.join(out_dir, f"{ctr}.a.png"),
-                               convert_to_rgb(X[i], is_grayscale=self.is_a_grayscale))
-                self._save_png(os.path.join(out_dir, f"{ctr}.b.png"),
-                               convert_to_rgb(pred[i], is_grayscale=self.is_b_grayscale))
+                self._save_png_u8(os.path.join(out_dir, f"{ctr}.a.png"), X[i])
+                self._save_png_u8(os.path.join(out_dir, f"{ctr}.b.png"), pred[i])
                 ctr += 1
         if flush:
             self.flush_artifacts()
@@ -640,11 +654,11 @@ class TwoStageGAN:
         z = _floatX(self.sampler(num_examples, self.latent_dim))
         ctr = 0
         for b in range(num_examples // batch_size):
-            out = np.asarray(self._z_fn(z[b * batch_size:(b + 1) * batch_size],
-                                        deterministic))
+            out = np.asarray(to_u8_device(
+                self._z_fn(z[b * batch_size:(b + 1) * batch_size],
+                           deterministic), self.is_a_grayscale))
             for i in range(out.shape[0]):
-                self._save_png(os.path.join(out_dir, f"{ctr}.png"),
-                               convert_to_rgb(out[i], is_grayscale=self.is_a_grayscale))
+                self._save_png_u8(os.path.join(out_dir, f"{ctr}.png"), out[i])
                 ctr += 1
         if flush:
             self.flush_artifacts()

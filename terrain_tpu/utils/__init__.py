@@ -5,6 +5,8 @@ from terrain_tpu.utils.images import (
     convert_to_rgb,
     plot_grid,
     save_png,
+    save_png_u8,
+    to_u8_device,
     write_image_grid,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "compose_imgs",
     "plot_grid",
     "save_png",
+    "save_png_u8",
+    "to_u8_device",
     "write_image_grid",
 ]

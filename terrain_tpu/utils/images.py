@@ -46,6 +46,32 @@ def save_png(path, img01):
     iio.imwrite(path, arr)
 
 
+def to_u8_device(x, is_grayscale):
+    """Quantize a float device image batch to uint8 ON DEVICE — the
+    convert_to_rgb + save_png math fused in-graph, run BEFORE the host
+    fetch.  On the axon relay runtime, image fetch bandwidth dominates
+    artifact epochs; uint8 is 4x smaller than fp32 and grayscale stays
+    1-channel (the host repeats to RGB at write time).  Bit-identical to
+    convert_to_rgb -> save_png: color maps [-1,1] -> [0,1] via (x+1)/2
+    (= (x*127.5+127.5)/255), then floor(v*255 + 0.5) clipped to [0,255]."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x, jnp.float32)
+    if not is_grayscale:
+        x = x * 0.5 + 0.5
+    return jnp.clip(jnp.floor(x * 255.0 + 0.5), 0, 255).astype(jnp.uint8)
+
+
+def save_png_u8(path, img_u8):
+    """Save a uint8 (H, W, 1|3) image (from `to_u8_device`) as PNG."""
+    import imageio.v3 as iio
+
+    arr = np.asarray(img_u8)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    iio.imwrite(path, arr)
+
+
 def plot_grid(out_filename, itr, out_fn, is_a_grayscale, is_b_grayscale, N=4):
     """NxN grid of [A, f(A)] pairs pulled from an iterator (util.py:101-116)."""
     import matplotlib
