@@ -431,10 +431,14 @@ class TwoStageGAN:
         Columns follow the stage(s) active in `train_mode`."""
         from terrain_tpu.eval import swd_pyramid
 
-        # device-resident throughout: fetching fp32 512px batches to host
-        # and re-uploading cost ~19 s/epoch on the relay (RESULTS_r2.md)
-        pairs = list(self._batches_from(it_val, batch_size,
-                                        max(n // batch_size, 1)))
+        # device-resident throughout (fp32 host round-trips cost ~19 s/epoch
+        # on the relay, RESULTS_r2.md); device datasets gather all n images
+        # in ONE dispatch, host iterators yield their own batch size
+        if isinstance(it_val, DeviceDataset):
+            pairs = list(self._batches_from(it_val, n, 1))
+        else:
+            pairs = list(self._batches_from(it_val, batch_size,
+                                            max(n // batch_size, 1)))
         real_a = jnp.concatenate([p[0] for p in pairs])[:n]
         real_b = jnp.concatenate([p[1] for p in pairs])[:n]
         levels = max(1, min(3, int(np.log2(self.in_shp)) - 3))
@@ -483,19 +487,22 @@ class TwoStageGAN:
         pix2pix.py:267): device work runs here, matplotlib rendering is
         submitted to the async writer."""
         imgs = []
-        for X, Y in self._batches_from(itr, batch_size, N * N):
+        n_batches = (N * N + batch_size - 1) // batch_size
+        # every relay dispatch pays a round trip: use ALL images of each
+        # batch (ceil(NN/bs) sampler calls, not NN) and fetch uint8
+        for X, Y in self._batches_from(itr, batch_size, n_batches):
             bp = self._g_stoch(self.params["p2p_gen"], self.states["p2p_gen"],
                                X, self._next_rng())
-            # device-side uint8 of just the first pair of each batch (the
-            # only one the grid shows); fp32 full-batch fetches dominated
-            a8 = np.asarray(to_u8_device(X[0], self.is_a_grayscale))
-            b8 = np.asarray(to_u8_device(bp[0], self.is_b_grayscale))
+            a8 = np.asarray(to_u8_device(X, self.is_a_grayscale))
+            b8 = np.asarray(to_u8_device(bp, self.is_b_grayscale))
             if a8.shape[-1] == 1:
                 a8 = np.repeat(a8, 3, axis=-1)
             if b8.shape[-1] == 1:
                 b8 = np.repeat(b8, 3, axis=-1)
-            imgs.append(np.concatenate([a8, b8], axis=1).astype(np.float32)
-                        / 255.0)
+            for i in range(a8.shape[0]):
+                if len(imgs) < N * N:
+                    imgs.append(np.concatenate([a8[i], b8[i]], axis=1)
+                                .astype(np.float32) / 255.0)
 
         def _render(out_path, imgs, N):
             import matplotlib
@@ -653,10 +660,14 @@ class TwoStageGAN:
         os.makedirs(out_dir, exist_ok=True)
         z = _floatX(self.sampler(num_examples, self.latent_dim))
         ctr = 0
-        for b in range(num_examples // batch_size):
+        # chunk at 32 (not batch_size): each dispatch is a relay round trip
+        chunk = max(batch_size, min(32, num_examples))
+        for b in range((num_examples + chunk - 1) // chunk):
+            zc = z[b * chunk:(b + 1) * chunk]
+            if zc.shape[0] == 0:
+                break
             out = np.asarray(to_u8_device(
-                self._z_fn(z[b * batch_size:(b + 1) * batch_size],
-                           deterministic), self.is_a_grayscale))
+                self._z_fn(zc, deterministic), self.is_a_grayscale))
             for i in range(out.shape[0]):
                 self._save_png_u8(os.path.join(out_dir, f"{ctr}.png"), out[i])
                 ctr += 1
