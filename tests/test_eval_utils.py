@@ -85,3 +85,25 @@ def test_arch_diagram_renders(tmp_path):
     assert out.exists() and out.stat().st_size > 5000
     # dense+bn_in, 2 stages x (conv+bn), conv_out
     assert n >= 5
+
+
+def test_to_u8_device_matches_host_pipeline(rng):
+    """Device-side quantization must be bit-identical to the host
+    convert_to_rgb -> save_png math it replaces (trainer dump paths)."""
+    import numpy as np
+
+    from terrain_tpu.utils import convert_to_rgb, to_u8_device
+
+    # grayscale in [0,1] (sigmoid outputs), incl. out-of-range values
+    g = rng.rand(2, 16, 16, 1).astype(np.float32) * 1.2 - 0.1
+    host = np.clip(convert_to_rgb(g[0], is_grayscale=True) * 255.0 + 0.5,
+                   0, 255).astype(np.uint8)
+    dev = np.asarray(to_u8_device(g, True))[0]
+    assert dev.shape == (16, 16, 1)
+    assert (np.repeat(dev, 3, axis=-1) == host).all()
+    # color in [-1,1] (tanh outputs)
+    c = rng.rand(2, 8, 8, 3).astype(np.float32) * 2.4 - 1.2
+    host = np.clip(convert_to_rgb(c[0], is_grayscale=False) * 255.0 + 0.5,
+                   0, 255).astype(np.uint8)
+    dev = np.asarray(to_u8_device(c, False))[0]
+    assert (dev == host).all()

@@ -17,6 +17,23 @@ import shutil
 import sys
 
 
+def _copy_dedup(src, dst):
+    """Copy an epoch-keyed CSV keeping the LAST row per epoch, sorted.
+
+    `resume='auto'` appends from the checkpoint epoch, so a restart can
+    re-log epochs already present (e.g. ckpt at e90, rows to e109): the
+    resumed trajectory's rows are the authoritative ones."""
+    with open(src) as f:
+        lines = f.read().splitlines()
+    header = [ln for ln in lines if not ln[:1].isdigit()]
+    rows = {}
+    for ln in lines:
+        if ln[:1].isdigit():
+            rows[int(ln.split(",", 1)[0])] = ln
+    with open(dst, "w") as f:
+        f.write("\n".join(header + [rows[e] for e in sorted(rows)]) + "\n")
+
+
 def _epochs(pattern):
     out = []
     for p in glob.glob(pattern):
@@ -51,7 +68,7 @@ def main(src, dst):
     for name in ("results.txt", "swd.txt"):
         p = os.path.join(src, name)
         if os.path.exists(p):
-            shutil.copy2(p, dst)
+            _copy_dedup(p, os.path.join(dst, name))
     for p in glob.glob(os.path.join(src, "arch_*.png")):
         shutil.copy2(p, dst)
     outs = _epochs(os.path.join(src, "out_*.png"))
