@@ -26,10 +26,15 @@ def _copy_dedup(src, dst):
     with open(src) as f:
         lines = f.read().splitlines()
     header = [ln for ln in lines if not ln[:1].isdigit()]
+    n_cols = len(header[0].split(",")) if header else None
     rows = {}
     for ln in lines:
-        if ln[:1].isdigit():
-            rows[int(ln.split(",", 1)[0])] = ln
+        first = ln.split(",", 1)[0]
+        # torn appends (a killed writer's partial row interleaved with the
+        # resumed writer's) show up as wrong column counts / junk epochs
+        if (first.isdigit() and int(first) < 10 ** 6
+                and (n_cols is None or len(ln.split(",")) == n_cols)):
+            rows[int(first)] = ln
     with open(dst, "w") as f:
         f.write("\n".join(header + [rows[e] for e in sorted(rows)]) + "\n")
 
