@@ -200,3 +200,4 @@ def test_gaussian_blur_matches_scipy(rng):
     # blurring reduces total variation
     tv = lambda a: np.abs(np.diff(a, axis=1)).sum()
     assert tv(got) < tv(x)
+
