@@ -10,18 +10,40 @@ xt/yt/xv/yv (iterate_hdf5 reads NHWC and the notebook writes 90/10 splits).
 import numpy as np
 
 
-def make_heightmaps(n, size, rnd):
-    """Band-limited random fields in [0, 255] uint8, (n, size, size, 1)."""
-    k = max(size // 8, 2)
-    low = rnd.rand(n, k, k).astype(np.float32)
-    # bilinear upsample to full size via np (tests run hostside)
+def _upsample_bilinear(low, size):
+    """(n, k, k) -> (n, size, size) separable bilinear, host-side numpy."""
+    k = low.shape[1]
     idx = np.linspace(0, k - 1, size).astype(np.float32)
     i0 = np.floor(idx).astype(int)
     i1 = np.minimum(i0 + 1, k - 1)
     f = idx - i0
     rows = low[:, i0, :] * (1 - f)[None, :, None] + low[:, i1, :] * f[None, :, None]
-    full = rows[:, :, i0] * (1 - f)[None, None, :] + rows[:, :, i1] * f[None, None, :]
-    full = (full - full.min()) / (np.ptp(full) + 1e-8)
+    return rows[:, :, i0] * (1 - f)[None, None, :] + rows[:, :, i1] * f[None, None, :]
+
+
+def make_heightmaps(n, size, rnd):
+    """Fractal (multi-octave, ~1/f) random terrain in [0, 255] uint8,
+    (n, size, size, 1).
+
+    Real heightmap crops (the NASA gebco_08 elevation data the reference
+    trains on) have power concentrated at LOW spatial frequencies —
+    continents, ridges, valleys — with fine detail riding on top.  A
+    single-octave noise field (the round-1 version: k = size/8 white noise
+    upsampled) has no global structure for the GAN to learn and every
+    sample looks like the same gray fuzz.  Classic fBm: octaves at
+    k = 2, 4, ..., size/8 with amplitude halving per octave."""
+    acc = np.zeros((n, size, size), np.float32)
+    amp = 1.0
+    k = 2
+    while k <= max(size // 8, 2):
+        low = rnd.rand(n, k, k).astype(np.float32) - 0.5
+        acc += amp * _upsample_bilinear(low, size)
+        amp *= 0.55
+        k *= 2
+    # per-image normalize to the full range, like crops of varied relief
+    lo = acc.min(axis=(1, 2), keepdims=True)
+    hi = acc.max(axis=(1, 2), keepdims=True)
+    full = (acc - lo) / (hi - lo + 1e-8)
     return (full[..., None] * 255).astype(np.uint8)
 
 
