@@ -719,19 +719,31 @@ class TwoStageGAN:
             else:
                 a_out, b_out = self._two_stage_stoch(pg, sg, pu, su, zb,
                                                      self._next_rng())
-            a_out, b_out = np.asarray(a_out), np.asarray(b_out)
-            for i in range(a_out.shape[0]):
-                a_img = a_out[i]
-                if min_max_norm:
-                    a_img = (a_img - a_img.min()) / (a_img.max() - a_img.min())
-                a_rgb = convert_to_rgb(a_img, is_grayscale=self.is_a_grayscale)
-                b_rgb = convert_to_rgb(b_out[i], is_grayscale=self.is_b_grayscale)
+            if min_max_norm:
+                # per-frame min-max (reference option): host-side, fp32 fetch
+                a_out, b_out = np.asarray(a_out), np.asarray(b_out)
+                lo = a_out.min(axis=(1, 2, 3), keepdims=True)
+                hi = a_out.max(axis=(1, 2, 3), keepdims=True)
+                a8 = np.clip(((a_out - lo) / (hi - lo + 1e-8)) * 255.0 + 0.5,
+                             0, 255).astype(np.uint8)
+                b8 = np.asarray(to_u8_device(jnp.asarray(b_out),
+                                             self.is_b_grayscale))
+            else:
+                # quantize on device: uint8 fetches (relay bandwidth,
+                # RESULTS_r2.md) — a 225-frame clip is ~900 MB in fp32
+                a8 = np.asarray(to_u8_device(a_out, self.is_a_grayscale))
+                b8 = np.asarray(to_u8_device(b_out, self.is_b_grayscale))
+            if a8.shape[-1] == 1:
+                a8 = np.repeat(a8, 3, axis=-1)
+            if b8.shape[-1] == 1:
+                b8 = np.repeat(b8, 3, axis=-1)
+            for i in range(a8.shape[0]):
                 d = f"{ctr:04d}"
                 if concat:
-                    full = np.concatenate([a_rgb, b_rgb], axis=1)
-                    self._save_png(os.path.join(out_dir, f"concat_{d}.png"), full)
+                    full = np.concatenate([a8[i], b8[i]], axis=1)
+                    self._save_png_u8(os.path.join(out_dir, f"concat_{d}.png"), full)
                 else:
-                    self._save_png(os.path.join(out_dir, f"a_{d}.png"), a_rgb)
-                    self._save_png(os.path.join(out_dir, f"b_{d}.png"), b_rgb)
+                    self._save_png_u8(os.path.join(out_dir, f"a_{d}.png"), a8[i])
+                    self._save_png_u8(os.path.join(out_dir, f"b_{d}.png"), b8[i])
                 ctr += 1
         self.flush_artifacts()
