@@ -27,7 +27,8 @@ def main():
     ap.add_argument("--clients", type=int, default=4)
     ap.add_argument("--requests", type=int, default=80)
     ap.add_argument("--port", type=int, default=7655)
-    ap.add_argument("--texture", action="store_true", default=True)
+    ap.add_argument("--texture", action=argparse.BooleanOptionalAction,
+                    default=True)
     args = ap.parse_args()
 
     srv = subprocess.Popen(

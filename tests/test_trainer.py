@@ -127,6 +127,52 @@ def test_generate_gz_and_interpolation(tmp_path):
     m.generate_interpolation(str(tmp_path / "interp_mat.png"), mode="matrix")
 
 
+def test_two_stage_stoch_sampler_splits_rng():
+    """Stage-1 and stage-2 stochasticity must be independent inside the
+    fused two-stage sampler — the reference ran the stages as separate
+    function calls (pix2pix.py:405-408), so their dropout draws were never
+    correlated.  The fused program must split the key, not reuse it."""
+    from terrain_tpu.sample import make_two_stage_sampler
+
+    m = TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"nch": 8, "h": 3, "initial_size": 4,
+                          "final_size": IN, "div": [2, 2], "dropout_p": 0.5},
+        disc_params_dcgan={"nch": IN, "h": 3, "div": [4, 2], "bn": False,
+                           "nonlinearity": "linear"},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 4, "act": "tanh"},
+        disc_params_p2p={"nf": 4, "bn": False, "act": "linear"},
+        in_shp=IN, latent_dim=LAT,
+        is_a_grayscale=True, is_b_grayscale=False,
+        lsgan=True, opt="rmsprop", opt_args={"learning_rate": 1e-4},
+        train_mode="both", verbose=False)
+    _, stoch = make_two_stage_sampler(m.nets["dcgan_gen"], m.nets["p2p_gen"])
+    rng = jax.random.PRNGKey(3)
+    z = np.random.RandomState(0).rand(2, LAT).astype(np.float32)
+    a, b = stoch(m.params["dcgan_gen"], m.states["dcgan_gen"],
+                 m.params["p2p_gen"], m.states["p2p_gen"], z, rng)
+    # correlated-rng (old bug) reconstruction: both stages fed `rng` raw
+    a_raw, _ = m.nets["dcgan_gen"].apply(
+        m.params["dcgan_gen"], m.states["dcgan_gen"], z, train=True, rng=rng)
+    b_raw, _ = m.nets["p2p_gen"].apply(
+        m.params["p2p_gen"], m.states["p2p_gen"], a_raw, train=True, rng=rng)
+    assert not np.allclose(np.asarray(a), np.asarray(a_raw))
+    assert not np.allclose(np.asarray(b), np.asarray(b_raw))
+    # and the fused program must equal the split-key two-call composition
+    r1, r2 = jax.random.split(rng)
+    a_ref, _ = m.nets["dcgan_gen"].apply(
+        m.params["dcgan_gen"], m.states["dcgan_gen"], z, train=True, rng=r1)
+    b_ref, _ = m.nets["p2p_gen"].apply(
+        m.params["p2p_gen"], m.states["p2p_gen"], a_ref, train=True, rng=r2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_generate_interpolation_clip_two_stage(tmp_path):
     m = tiny_model()
     d = str(tmp_path / "clip")

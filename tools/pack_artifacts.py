@@ -77,7 +77,9 @@ def main(src, dst):
     for p in glob.glob(os.path.join(src, "arch_*.png")):
         shutil.copy2(p, dst)
     outs = _epochs(os.path.join(src, "out_*.png"))
-    for e, p in [outs[0], outs[len(outs) // 2], outs[-1]] if outs else []:
+    # dict.fromkeys dedupes when <3 grids exist (first==mid==last)
+    for e, p in dict.fromkeys(
+            [outs[0], outs[len(outs) // 2], outs[-1]] if outs else []):
         shutil.copy2(p, dst)
     # dump_a is flat (20 samples, overwritten every epoch — reference
     # semantics, pix2pix.py:271-273): pack the final state as one sheet
