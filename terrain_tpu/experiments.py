@@ -266,6 +266,46 @@ def _build_smoke(verbose=True):
     )
 
 
+def _build_earth256(train_mode="both", verbose=True, disc_out=None):
+    """The test1 recipe scaled to 256px — the max resolution the bundled
+    NASA rasters support (400x800; reference md/earth_heightmap.png +
+    md/earth_texture.jpg).  Identical hyperparameters to _build_test1
+    (LSGAN, rmsprop 1e-4, latent 1000, nch=512 DCGAN, nf=64 U-Net with
+    bilinear decoder, nf=64 PatchGAN) with one fewer up/down stage:
+    DCGAN div [2,2,4,4,8,8] / [8,4,4,4,2,2] (the 512 config's schedule
+    minus its last stage), disc nch=256 so the reference's avg-pool-window
+    quirk (nch//2^len(div), dcgan.py:52) still yields 4."""
+    disc_kw, lr_mults = _stability_overrides()
+    if disc_out is not None:
+        disc_kw.setdefault("conv_out_nonlinearity", disc_out)
+    return TwoStageGAN(
+        gen_fn_dcgan=dcgan.default_generator,
+        disc_fn_dcgan=dcgan.default_discriminator,
+        gen_params_dcgan={"num_repeats": 0, "final_size": 256,
+                          "div": [2, 2, 4, 4, 8, 8]},
+        disc_params_dcgan={"num_repeats": 0, "bn": False, "nch": 256,
+                           "nonlinearity": "linear",
+                           "div": [8, 4, 4, 4, 2, 2], **disc_kw},
+        gen_fn_p2p=p2p.g_unet,
+        disc_fn_p2p=p2p.discriminator,
+        gen_params_p2p={"nf": 64, "act": "tanh", "num_repeats": 0,
+                        "bilinear_upsample": True},
+        disc_params_p2p={"nf": 64, "bn": False, "num_repeats": 0,
+                         "act": "linear", "mul_factor": [1, 2, 4, 8]},
+        in_shp=256,
+        latent_dim=1000,
+        is_a_grayscale=True,
+        is_b_grayscale=False,
+        lsgan=True,
+        opt="rmsprop",
+        opt_args={"learning_rate": 1e-4},
+        train_mode=train_mode,
+        compute_dtype=_compute_dtype(),
+        verbose=verbose,
+        lr_mults=lr_mults,
+    )
+
+
 def _build_earth(verbose=True):
     """128px real-raster demo config (see earth_demo)."""
     disc_kw, lr_mults = _stability_overrides()
@@ -309,6 +349,9 @@ _MODEL_BUILDERS = {
         "test1_nobn_bilin_both_stable"),
     "smoke_synthetic": lambda v: (_build_smoke(verbose=v), "smoke_synthetic"),
     "earth_demo": lambda v: (_build_earth(verbose=v), "earth_demo"),
+    "earth256": lambda v: (_build_earth256(verbose=v), "earth256"),
+    "earth256_stable": lambda v: (
+        _build_earth256(verbose=v, disc_out="linear"), "earth256_stable"),
 }
 
 
@@ -447,6 +490,45 @@ def smoke_synthetic(mode):
         model.load_model(_resolve_model(model_dir, "2.model"))
         out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
         model.generate_interpolation_clip(3, 4, out, concat=True)
+
+
+def _earth256_impl(mode, disc_out, name):
+    assert mode in ("train", "interp", "gen")
+    # real-data defaults: the bundled-raster crop h5 (tools/build_dataset.py
+    # over reference md/earth_heightmap.png at --crop 256 --stride 16),
+    # device-resident, 600 epochs like the reference's published evidence
+    os.environ.setdefault("TERRAIN_DATA", "data/earth256.h5")
+    os.environ.setdefault("TERRAIN_FAST", "1")
+    os.environ.setdefault("TERRAIN_EPOCHS", "600")
+    model = _build_earth256(disc_out=disc_out)
+    bs = int(_env("TERRAIN_BS", "4"))
+    model_dir = os.path.join(_env("TERRAIN_MODELS", "models"), name)
+    if mode == "train":
+        _run(model, name, mode, bs)
+    elif mode == "gen":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.generate_gz(100, 10, os.path.join(_env("TERRAIN_OUT", "output"),
+                                                name, "gen"))
+    elif mode == "interp":
+        model.load_model(_resolve_model(model_dir, "600.model"))
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
+        model.generate_interpolation_clip(10, 4, out, concat=True)
+
+
+@experiment
+def earth256(mode):
+    """Real-NASA-data run of the test1 recipe at 256px — the closest
+    achievable analog of the reference's published 512px real-data result
+    (README.md:48-61) given the bundled 400x800 rasters.  Reference-exact
+    config (hidden pre-pool rectify kept, dcgan.py:50)."""
+    _earth256_impl(mode, disc_out=None, name="earth256")
+
+
+@experiment
+def earth256_stable(mode):
+    """earth256 with the one-knob stabilization (linear DCGAN-disc final
+    conv; see test1_nobn_bilin_both_stable) — the headline quality config."""
+    _earth256_impl(mode, disc_out="linear", name="earth256_stable")
 
 
 @experiment
