@@ -135,6 +135,13 @@ class TwoStageGAN:
             donate_argnums=(0, 1, 2))
         self._eval_step = self._jit_step(
             build_eval_step(self.nets, prepare=host_prepare, **step_kw))
+        aot_dir = os.environ.get("TERRAIN_AOT")
+        if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
+            from terrain_tpu.utils.aot import AotLazy
+
+            base = f"{self.train_mode}_{self.in_shp}_host"
+            self._train_step = AotLazy(self._train_step, f"{base}_train", aot_dir)
+            self._eval_step = AotLazy(self._eval_step, f"{base}_eval", aot_dir)
         self._cache_steps = {}  # id(DeviceDataset) -> (train_step, eval_step)
 
         # jitted samplers (reference z_fn / z_fn_det / gen_fn / gen_fn_det,
@@ -221,6 +228,13 @@ class TwoStageGAN:
                                  lr_mults=self.lr_mults, **kw),
                 donate_argnums=(0, 1, 2))
             ev = self._jit_step(build_eval_step(self.nets, prepare=prepare, **kw))
+            aot_dir = os.environ.get("TERRAIN_AOT")
+            if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
+                from terrain_tpu.utils.aot import AotLazy
+
+                base = f"{self.train_mode}_{self.in_shp}"
+                tr = AotLazy(tr, f"{base}_train", aot_dir)
+                ev = AotLazy(ev, f"{base}_eval", aot_dir)
             entry = (ds, tr, ev)
             self._cache_steps[key] = entry
         return entry[1], entry[2]

@@ -1,0 +1,63 @@
+"""AOT executable store (utils/aot.py): save/load roundtrip, trainer wiring."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from terrain_tpu.utils.aot import AotLazy, aot_compile
+
+
+def test_aot_compile_roundtrip(tmp_path, capsys):
+    d = str(tmp_path / "aot")
+    f = jax.jit(lambda x, y: x * 2 + y)
+    a = (jnp.arange(4.0), jnp.ones((4,)))
+    c1 = aot_compile(f, a, "double", d, verbose=True)
+    np.testing.assert_allclose(np.asarray(c1(*a)), np.arange(4.0) * 2 + 1)
+    assert any(p.endswith(".aotx") for p in os.listdir(d))
+    out1 = capsys.readouterr().out
+    assert "saved" in out1
+    c2 = aot_compile(f, a, "double", d, verbose=True)
+    np.testing.assert_allclose(np.asarray(c2(*a)), np.asarray(c1(*a)))
+    assert "loaded" in capsys.readouterr().out
+
+
+def test_aot_fingerprint_distinguishes_programs(tmp_path):
+    d = str(tmp_path / "aot")
+    a = (jnp.arange(4.0),)
+    aot_compile(jax.jit(lambda x: x * 2), a, "fn", d)
+    aot_compile(jax.jit(lambda x: x * 3), a, "fn", d)
+    # different programs, same tag: two distinct entries
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
+
+
+def test_aot_lazy_shape_fallback(tmp_path):
+    d = str(tmp_path / "aot")
+    lazy = AotLazy(jax.jit(lambda x: x + 1), "inc", d)
+    np.testing.assert_allclose(np.asarray(lazy(jnp.zeros((3,)))), 1.0)
+    # a second shape silently falls back to the jitted path
+    np.testing.assert_allclose(np.asarray(lazy(jnp.zeros((5,)))), 1.0)
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 1
+
+
+def test_trainer_aot_cache_steps(tmp_path, monkeypatch):
+    from terrain_tpu.data import DeviceDataset
+    from terrain_tpu.data.synthetic import make_pairs
+    from tests.test_trainer import tiny_model
+
+    d = str(tmp_path / "aot")
+    monkeypatch.setenv("TERRAIN_AOT", d)
+    m = tiny_model()
+    x, y = make_pairs(8, 16, seed=0)
+    ds = DeviceDataset(x, y)
+    tr, ev = m._get_cache_steps(ds)
+    assert isinstance(tr, AotLazy) and isinstance(ev, AotLazy)
+    Z = m._sample_z(4)
+    idx = jnp.arange(4, dtype=jnp.int32)
+    params, states, opts, losses = tr(
+        m.params, m.states, m.opt_states, ds.batch_args(Z, idx),
+        jax.random.PRNGKey(0), jnp.float32(1e-4))
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    entries = [p for p in os.listdir(d) if p.endswith(".aotx")]
+    assert len(entries) == 1 and entries[0].startswith("both_16_train")
