@@ -30,11 +30,20 @@ def _reflect_index(i, n):
 
 def _rotate_flip_one(img, theta, flip_h, flip_v):
     """Rotate one (H, W, C) image by theta (radians) about its centre with
-    bilinear sampling + reflect fill, then apply flips."""
-    h, w, _ = img.shape
+    bilinear sampling + reflect fill, then apply flips.
+
+    TPU-shaped: the flips are folded into the *source coordinates* (flipping
+    the output equals negating the centred target grid — exact in fp, since
+    (h-1-i)-c = -(i-c) with c=(h-1)/2), and the four bilinear taps are ONE
+    gather over the channel-flattened image with stacked linear indices —
+    XLA emits a single gather kernel instead of four 2D advanced-index
+    gathers plus two reverse+select pairs."""
+    h, w, c = img.shape
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - cy
     xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - cx
+    yy = jnp.where(flip_v, -yy, yy)
+    xx = jnp.where(flip_h, -xx, xx)
     ct, st = jnp.cos(theta), jnp.sin(theta)
     u = ct * yy - st * xx + cy  # source row coordinate
     v = st * yy + ct * xx + cx  # source col coordinate
@@ -46,19 +55,16 @@ def _rotate_flip_one(img, theta, flip_h, flip_v):
     v0i, v1i = v0.astype(jnp.int32), v0.astype(jnp.int32) + 1
     u0i, u1i = _reflect_index(u0i, h), _reflect_index(u1i, h)
     v0i, v1i = _reflect_index(v0i, w), _reflect_index(v1i, w)
-    p00 = img[u0i, v0i]
-    p01 = img[u0i, v1i]
-    p10 = img[u1i, v0i]
-    p11 = img[u1i, v1i]
-    out = (
+    lin = jnp.stack([u0i * w + v0i, u0i * w + v1i,
+                     u1i * w + v0i, u1i * w + v1i])  # (4, h, w)
+    p = jnp.take(img.reshape(h * w, c), lin.reshape(4, h * w), axis=0)
+    p00, p01, p10, p11 = (t.reshape(h, w, c) for t in p)
+    return (
         p00 * (1 - fu) * (1 - fv)
         + p01 * (1 - fu) * fv
         + p10 * fu * (1 - fv)
         + p11 * fu * fv
     )
-    out = jnp.where(flip_v, out[::-1, :, :], out)
-    out = jnp.where(flip_h, out[:, ::-1, :], out)
-    return out
 
 
 def augment_pair(rng, X, Y, *, rotation=True, flips=True):

@@ -147,6 +147,45 @@ def test_augment_rotation_90deg_equivalence():
     assert ok1 or ok2
 
 
+def test_rotate_flip_matches_naive_rotate_then_flip():
+    # the shipped kernel folds flips into source coords and fuses the four
+    # bilinear taps into one gather; it must equal the naive formulation
+    # (rotate in output space, then reverse the axes) bit-for-bit
+    from terrain_tpu.data.augment import _reflect_index, _rotate_flip_one
+
+    def naive(img, theta, flip_h, flip_v):
+        h, w, _ = img.shape
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        yy, xx = yy - cy, xx - cx
+        ct, st = np.cos(theta), np.sin(theta)
+        u = ct * yy - st * xx + cy
+        v = st * yy + ct * xx + cx
+        u0, v0 = np.floor(u), np.floor(v)
+        fu, fv = (u - u0)[..., None], (v - v0)[..., None]
+        u0i, u1i = u0.astype(np.int32), u0.astype(np.int32) + 1
+        v0i, v1i = v0.astype(np.int32), v0.astype(np.int32) + 1
+        r = lambda i, n: np.asarray(_reflect_index(jnp.asarray(i), n))
+        u0i, u1i, v0i, v1i = r(u0i, h), r(u1i, h), r(v0i, w), r(v1i, w)
+        out = (img[u0i, v0i] * (1 - fu) * (1 - fv)
+               + img[u0i, v1i] * (1 - fu) * fv
+               + img[u1i, v0i] * fu * (1 - fv)
+               + img[u1i, v1i] * fu * fv)
+        if flip_v:
+            out = out[::-1, :, :]
+        if flip_h:
+            out = out[:, ::-1, :]
+        return out
+
+    rnd = np.random.RandomState(7)
+    img = rnd.rand(13, 13, 2).astype(np.float32)
+    for theta, fh, fv in [(0.3, False, False), (2.1, True, False),
+                          (-1.7, False, True), (4.4, True, True)]:
+        got = np.asarray(_rotate_flip_one(
+            jnp.asarray(img), jnp.float32(theta), jnp.bool_(fh), jnp.bool_(fv)))
+        np.testing.assert_array_equal(got, naive(img, np.float32(theta), fh, fv))
+
+
 def test_prefetcher_yields_device_batches():
     x, y = make_pairs(8, 8, seed=0)
     it = Hdf5Iterator(x, y, bs=4)
