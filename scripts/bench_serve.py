@@ -29,11 +29,15 @@ def main():
     ap.add_argument("--port", type=int, default=7655)
     ap.add_argument("--texture", action=argparse.BooleanOptionalAction,
                     default=True)
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="server bucket cap; fewer buckets = less warmup "
+                         "compile time (matters at 512px on the relay)")
     args = ap.parse_args()
 
     srv = subprocess.Popen(
         [sys.executable, "-m", "terrain_tpu.serve", args.experiment,
-         "--no-weights", "--warmup", "--port", str(args.port)],
+         "--no-weights", "--warmup", "--port", str(args.port),
+         "--max-batch", str(args.max_batch)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
         from terrain_tpu.serve.client import TerrainClient
