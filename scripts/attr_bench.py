@@ -101,12 +101,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("variant", choices=[
         "full", "noaug", "noopt", "fwd", "gather", "dcgan", "p2p",
-        "profile", "flops"])
+        "profile", "flops", "scan"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--scan-k", type=int, default=15,
+                    help="inner steps per dispatch for the scan variant")
     args = ap.parse_args()
     v = args.variant
-    out = {"variant": v, "bs": args.bs, "steps": args.steps}
+    out = {"variant": v, "bs": args.bs, "steps": args.steps,
+           "augment": os.environ.get("TERRAIN_AUGMENT", "shear")}
 
     if v in ("full", "noaug", "profile", "flops"):
         model, ds = build()
@@ -149,6 +152,30 @@ def main():
                     out[k] = getattr(mm, k, None)
         else:
             out["step_ms"] = round(timed(run, args.steps) * 1e3, 2)
+    elif v == "scan":
+        # the TERRAIN_SCAN product path: k steps per dispatch (lax.scan)
+        model, ds = build()
+        k = args.scan_k
+        tr_scan, _ = model._get_scan_steps(ds, k)
+        rnd = np.random.RandomState(0)
+        bs = args.bs
+
+        def run(t, fence=True):
+            zs = np.stack([np.asarray(model.sampler(bs, model.latent_dim),
+                                      np.float32) for _ in range(k)])
+            idxs = rnd.randint(0, ds.N, size=(k, bs)).astype(np.int32)
+            rngs = model._fold_keys(
+                model._base_key, np.arange(t * k + 1, (t + 1) * k + 1))
+            model.params, model.states, model.opt_states, losses = tr_scan(
+                model.params, model.states, model.opt_states,
+                (jnp.asarray(zs), jnp.asarray(idxs)), rngs,
+                jnp.float32(1e-4))
+            o = losses["p2p_recon"][-1]
+            return float(o) if fence else o
+
+        out["scan_k"] = k
+        out["chunk_ms"] = round(timed(run, max(args.steps // k, 4)) * 1e3, 2)
+        out["step_ms"] = round(out["chunk_ms"] / k, 2)
     elif v in ("dcgan", "p2p"):
         model, ds = build(train_mode=v)
         tr_step, _ = model._get_cache_steps(ds)

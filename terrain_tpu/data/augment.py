@@ -18,8 +18,11 @@ Deviation noted for parity: old Keras rotated with nearest-neighbour
 smoother and the modern default.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _reflect_index(i, n):
@@ -67,6 +70,119 @@ def _rotate_flip_one(img, theta, flip_h, flip_v):
     )
 
 
+# --------------------------------------------------------------------------
+# Shear-decomposition rotation (the TPU-fast path).
+#
+# The single-gather rotation above is correct but gathers 4·H·W arbitrary
+# linear indices per image — a generic gather the TPU lowers to slow scalar
+# addressing (measured ~29 ms of the 99 ms flagship step at bs=4,
+# docs/RESULTS_r3.md "Step attribution").  The classic Paeth 3-shear
+# factorization R(r) = ShearX(a)·ShearY(b)·ShearX(a) (a = -tan(r/2),
+# b = sin r) turns the resample into three 1-D fractional shifts whose
+# offset varies only along the *other* axis.  Each shift is executed as
+# log2-many static `roll`+`select` stages (one per bit of the integer
+# offset) plus one 2-tap mix for the fraction — all dense, fully
+# vectorized VPU work, no gathers at all.
+#
+# Reflect fill comes for free: rolling the edge-inclusive reflect extension
+# concat(x, reverse(x)) — which is exactly one period of the reflect
+# indexing _reflect_index implements — makes circular shift equal reflect
+# sampling.  Angles are first reduced to |r| <= pi/4 by a per-image rot90
+# (select over the 4 dihedral variants), which bounds the shear offsets and
+# the bit count.
+#
+# Semantics note: a 3-pass bilinear resample is slightly smoother than the
+# 1-pass 4-tap bilinear above (three 2-tap mixes instead of one 4-tap), and
+# corner fill can differ where a later shear re-samples an earlier shear's
+# reflected band.  Augmentation is randomized noise injection — the
+# distribution is what matters — but the gather path stays available as
+# TERRAIN_AUGMENT=gather and is the semantic reference in tests.
+# --------------------------------------------------------------------------
+
+
+def _shift_frac(x, t, axis, max_abs):
+    """Sample x at (index + t) along `axis` in a periodic domain.
+
+    x: (N, H, L, C) or (N, L, W, C); t: per-image-per-row real offsets,
+    shaped to broadcast against x with size 1 on `axis` (and on C).
+    `max_abs` is a static bound on |t|; offsets are biased by it so the
+    binary decomposition only spends ceil(log2(2*max_abs+2)) roll stages.
+    out[j] = (1-f)·x[j+k] + f·x[j+k+1] with k=floor(t), f=frac(t).
+    """
+    length = x.shape[axis]
+    k = jnp.floor(t)
+    f = t - k
+    # bias into [0, 2*max_abs+1], then one static pre-roll undoes the bias
+    bias = int(np.ceil(max_abs)) + 1
+    k = k.astype(jnp.int32) + bias
+    x = jnp.roll(x, bias, axis=axis)  # static: out[j] = x[j - bias]
+    del length
+    nbits = max(int(np.ceil(np.log2(2 * bias + 2))), 1)
+    for b in range(nbits):
+        rolled = jnp.roll(x, -(1 << b), axis=axis)
+        x = jnp.where(((k >> b) & 1) > 0, rolled, x)
+    x1 = jnp.roll(x, -1, axis=axis)  # fractional 2-tap mix
+    return x * (1.0 - f) + x1 * f
+
+
+def _reflect_pad(x, axis):
+    """One full period of edge-inclusive reflect: concat(x, reverse(x))."""
+    return jnp.concatenate([x, jnp.flip(x, axis=axis)], axis=axis)
+
+
+def _rot90_select(x, q):
+    """Per-image rot90**q for square (N, H, W, C) images, q: (N,) in 0..3.
+
+    All four dihedral variants are dense layout ops; the per-image choice
+    is two selects.  Convention matches _rotate_flip_one's sampling
+    out[p] = src[R(q*90deg) p]: for q=1, out[i,j] = src[h-1-j, i]."""
+    r1 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=2)   # 90
+    r2 = jnp.flip(jnp.flip(x, axis=1), axis=2)     # 180
+    r3 = jnp.flip(jnp.swapaxes(x, 1, 2), axis=1)   # 270
+    q = q.reshape(-1, 1, 1, 1)
+    return jnp.where(q == 0, x,
+                     jnp.where(q == 1, r1, jnp.where(q == 2, r2, r3)))
+
+
+def _rotate_flip_shear(imgs, theta, flip_h, flip_v):
+    """Batched rotate+flip equal in distribution to vmap(_rotate_flip_one).
+
+    imgs: (N, H, W, C) square images; theta: (N,) radians."""
+    n, h, w, c = imgs.shape
+    assert h == w, "shear rotation assumes square images"
+    # reduce to |r| <= pi/4 with a per-image quarter-turn pre-rotation
+    theta = jnp.mod(theta, 2 * jnp.pi)
+    q = jnp.floor((theta + jnp.pi / 4) / (jnp.pi / 2)).astype(jnp.int32)
+    r = theta - q.astype(jnp.float32) * (jnp.pi / 2)
+    x = _rot90_select(imgs, jnp.mod(q, 4))
+
+    # sampling composition out(p) = src(Xa·Yb·Xa·p) equals src(R(r)·p)
+    # with a = tan(r/2), b = -sin(r):  Xa·Yb·Xa = [[c,-s],[s,c]]
+    a = jnp.tan(r / 2.0)           # x-shear coefficient, |a| <= tan(pi/8)
+    b = -jnp.sin(r)                # y-shear coefficient, |b| <= sin(pi/4)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rows = (jnp.arange(h, dtype=jnp.float32) - cy)  # (H,)
+    cols = (jnp.arange(w, dtype=jnp.float32) - cx)  # (W,)
+    amax = float(np.tan(np.pi / 8)) * max(cy, cx) + 1
+    bmax = float(np.sin(np.pi / 4)) * max(cy, cx) + 1
+
+    # pass 1: x-shear — out[i, j] = src[i, j + a*(i-cy)]
+    t1 = (a[:, None] * rows[None, :])[:, :, None, None]  # (N, H, 1, 1)
+    x = _reflect_pad(x, axis=2)
+    x = _shift_frac(x, t1, axis=2, max_abs=amax)[:, :, :w]
+    # pass 2: y-shear — out[i, j] = src[i + b*(j-cx), j]
+    t2 = (b[:, None] * cols[None, :])[:, None, :, None]  # (N, 1, W, 1)
+    x = _reflect_pad(x, axis=1)
+    x = _shift_frac(x, t2, axis=1, max_abs=bmax)[:, :h]
+    # pass 3: x-shear again
+    x = _reflect_pad(x, axis=2)
+    x = _shift_frac(x, t1, axis=2, max_abs=amax)[:, :, :w]
+
+    x = jnp.where(flip_h.reshape(-1, 1, 1, 1), jnp.flip(x, axis=2), x)
+    x = jnp.where(flip_v.reshape(-1, 1, 1, 1), jnp.flip(x, axis=1), x)
+    return x
+
+
 def augment_pair(rng, X, Y, *, rotation=True, flips=True):
     """Apply one random transform per (A, B) pair; A=(N,H,W,Ca), B=(N,H,W,Cb).
 
@@ -87,7 +203,17 @@ def augment_pair(rng, X, Y, *, rotation=True, flips=True):
         flip_h = jnp.zeros((n,), bool)
         flip_v = jnp.zeros((n,), bool)
     both = jnp.concatenate([X, Y], axis=-1)
-    out = jax.vmap(_rotate_flip_one)(both, theta, flip_h, flip_v)
+    if not rotation:
+        # flips only: two select+reverse passes, no resampling at all
+        out = jnp.where(flip_h.reshape(-1, 1, 1, 1),
+                        jnp.flip(both, axis=2), both)
+        out = jnp.where(flip_v.reshape(-1, 1, 1, 1),
+                        jnp.flip(out, axis=1), out)
+    elif (os.environ.get("TERRAIN_AUGMENT", "shear") == "shear"
+            and X.shape[1] == X.shape[2]):
+        out = _rotate_flip_shear(both, theta, flip_h, flip_v)
+    else:
+        out = jax.vmap(_rotate_flip_one)(both, theta, flip_h, flip_v)
     return out[..., :ca], out[..., ca:]
 
 

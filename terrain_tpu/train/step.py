@@ -205,6 +205,53 @@ def build_train_step(nets, optimizer, *, alpha=100.0, lsgan=False,
     return train_step
 
 
+def build_scan_step(train_step):
+    """Run k sequential train steps in ONE compiled program via lax.scan.
+
+    On the relay runtime each dispatch pays a fixed per-call overhead that
+    is of the same order as the 512px step's compute (docs/RESULTS_r3.md
+    "Step attribution"), so the per-step dispatch model leaves the MXU idle
+    roughly half of every step.  Scanning k steps amortizes that overhead
+    k-fold; it is also the idiomatic TPU training loop (host touches the
+    device once per k steps, XLA keeps params resident in HBM across
+    iterations).  Semantics are identical to k back-to-back train_step
+    calls with the same per-step (batch, rng) inputs — asserted by
+    tests/test_scan_step.py.
+
+    scan_step(params, states, opt_states, batches, rngs, lr) where
+    `batches` is the per-step batch pytree stacked on a new leading k axis
+    and `rngs` stacks the k per-step keys.  Losses come back as a dict of
+    (k,) arrays (one value per inner step).
+    """
+
+    def scan_step(params, states, opt_states, batches, rngs, lr):
+        def body(carry, xs):
+            p, s, o = carry
+            batch, rng = xs
+            p, s, o, losses = train_step(p, s, o, batch, rng, lr)
+            return (p, s, o), losses
+
+        (params, states, opt_states), losses = jax.lax.scan(
+            body, (params, states, opt_states), (batches, rngs))
+        return params, states, opt_states, losses
+
+    return scan_step
+
+
+def build_scan_eval(eval_step):
+    """Scan analog of build_scan_step for the (stateless) eval pass."""
+
+    def scan_eval(params, states, batches, rngs):
+        def body(carry, xs):
+            batch, rng = xs
+            return carry, eval_step(params, states, batch, rng)
+
+        _, losses = jax.lax.scan(body, (), (batches, rngs))
+        return losses
+
+    return scan_eval
+
+
 def build_eval_step(nets, *, alpha=100.0, lsgan=False, reconstruction="l1",
                     prepare=None):
     """Returns eval_step(params, states, batch, rng) -> losses.

@@ -40,7 +40,8 @@ from terrain_tpu.train import checkpoint as ckpt
 from terrain_tpu.train.losses import TRAIN_KEYS
 from terrain_tpu.train.optim import get_optimizer
 from terrain_tpu.train.schedule import ReduceLROnPlateau
-from terrain_tpu.train.step import ACTIVE, build_eval_step, build_train_step
+from terrain_tpu.train.step import (ACTIVE, build_eval_step, build_scan_eval,
+                                    build_scan_step, build_train_step)
 from terrain_tpu.utils import (compose_imgs, convert_to_rgb, save_png,
                                save_png_u8, to_u8_device, write_image_grid)
 from terrain_tpu.utils.async_writer import AsyncWriter
@@ -207,6 +208,30 @@ class TwoStageGAN:
         self._step_counter += 1
         return jax.random.fold_in(self._base_key, self._step_counter)
 
+    @property
+    def _fold_keys(self):
+        """One dispatch producing the (k,) stack of per-step keys the scan
+        path consumes — the same fold_in(base, counter) stream _next_rng
+        yields one at a time, so scan and per-step runs see identical RNG."""
+        f = getattr(self, "_fold_keys_", None)
+        if f is None:
+            f = self._fold_keys_ = jax.jit(
+                jax.vmap(jax.random.fold_in, in_axes=(None, 0)))
+        return f
+
+    @staticmethod
+    def _scan_k(n_steps):
+        """Resolve TERRAIN_SCAN into a chunk size that divides the epoch's
+        step count exactly (one compiled shape, no ragged-tail program —
+        a second shape would be another cold relay compile)."""
+        want = int(os.environ.get("TERRAIN_SCAN", "1") or "1")
+        if want <= 1 or n_steps <= 1 or jax.process_count() > 1:
+            return 1
+        k = min(want, n_steps)
+        while n_steps % k:
+            k -= 1
+        return k
+
     def _host_prepare(self, batch, rng):
         Z, X, Y = batch
         X, Y = augment_pair(jax.random.fold_in(rng, 0x5eed), X, Y)
@@ -238,6 +263,49 @@ class TwoStageGAN:
             entry = (ds, tr, ev)
             self._cache_steps[key] = entry
         return entry[1], entry[2]
+
+    def _get_scan_steps(self, ds, k):
+        """Scanned (k-steps-per-dispatch) variants of the device-cache
+        steps; see build_scan_step for why this matters on the relay."""
+        cache = getattr(self, "_cache_scan", None)
+        if cache is None:
+            cache = self._cache_scan = {}
+        key = (id(ds), k)
+        entry = cache.get(key)
+        if entry is None or entry[0] is not ds:
+            prepare = ds.make_prepare(augment=self.da)
+            kw = dict(alpha=self.alpha, lsgan=self.lsgan,
+                      reconstruction=self.reconstruction)
+            tr = self._jit_step(
+                build_scan_step(
+                    build_train_step(self.nets, self.optimizer,
+                                     train_mode=self.train_mode,
+                                     prepare=prepare, lr_mults=self.lr_mults,
+                                     **kw)),
+                donate_argnums=(0, 1, 2))
+            ev = self._jit_step(build_scan_eval(
+                build_eval_step(self.nets, prepare=prepare, **kw)))
+            aot_dir = os.environ.get("TERRAIN_AOT")
+            if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
+                from terrain_tpu.utils.aot import AotLazy
+
+                base = f"{self.train_mode}_{self.in_shp}_scan{k}"
+                tr = AotLazy(tr, f"{base}_train", aot_dir)
+                ev = AotLazy(ev, f"{base}_eval", aot_dir)
+            entry = (ds, tr, ev)
+            cache[key] = entry
+        return entry[1], entry[2]
+
+    def _put_scan(self, x):
+        """Place a (k, bs, ...) stack of per-step arrays: the batch axis is
+        axis 1, so a mesh shards P(None, 'data')."""
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = self._batch_sharding
+            spec = P(*((None,) + tuple(sh.spec)))
+            return jax.device_put(np.asarray(x), NamedSharding(sh.mesh, spec))
+        return jnp.asarray(x)
 
     def _put_batch(self, x):
         """Place a batch array, sharding the leading dim when on a mesh.
@@ -275,21 +343,49 @@ class TwoStageGAN:
             v = os.environ.get("TERRAIN_EVAL_STEPS")
             cap = int(v) if v else None
         if isinstance(itr, DeviceDataset):
-            tr_step, ev_step = self._get_cache_steps(itr)
             sched = epoch_index_schedule(itr.N, batch_size, self._sched_rnd)
-            for idx in (sched[:cap] if cap else sched):
-                batch = itr.batch_args(self._sample_z(batch_size),
-                                       self._put_batch(idx))
-                rng = self._next_rng()
-                if train:
-                    (self.params, self.states, self.opt_states, losses) = tr_step(
-                        self.params, self.states, self.opt_states, batch, rng,
-                        jnp.float32(self.lr))
-                else:
-                    losses = ev_step(self.params, self.states, batch, rng)
-                recs.append(losses)
-                if quick_run:
-                    break
+            steps = sched[:cap] if cap else sched
+            k = 1 if quick_run else self._scan_k(len(steps))
+            if k > 1:
+                # k steps per dispatch (lax.scan): host->device traffic per
+                # chunk = one (k,bs,zdim) prior stack + one (k,bs) index
+                # stack + one (k,) key stack; see build_scan_step.
+                tr_scan, ev_scan = self._get_scan_steps(itr, k)
+                for c in range(0, len(steps), k):
+                    zs = np.stack([_floatX(self.sampler(
+                        batch_size, self.latent_dim)) for _ in range(k)])
+                    idxs = np.stack(steps[c:c + k])
+                    counters = np.arange(self._step_counter + 1,
+                                         self._step_counter + k + 1)
+                    self._step_counter += k
+                    rngs = self._fold_keys(self._base_key, counters)
+                    batches = itr.batch_args(self._put_scan(zs),
+                                             self._put_scan(idxs))
+                    if train:
+                        (self.params, self.states, self.opt_states,
+                         losses) = tr_scan(
+                            self.params, self.states, self.opt_states,
+                            batches, rngs, jnp.float32(self.lr))
+                    else:
+                        losses = ev_scan(self.params, self.states, batches,
+                                         rngs)
+                    recs.append(losses)  # dict of (k,) arrays
+            else:
+                tr_step, ev_step = self._get_cache_steps(itr)
+                for idx in steps:
+                    batch = itr.batch_args(self._sample_z(batch_size),
+                                           self._put_batch(idx))
+                    rng = self._next_rng()
+                    if train:
+                        (self.params, self.states, self.opt_states,
+                         losses) = tr_step(
+                            self.params, self.states, self.opt_states, batch,
+                            rng, jnp.float32(self.lr))
+                    else:
+                        losses = ev_step(self.params, self.states, batch, rng)
+                    recs.append(losses)
+                    if quick_run:
+                        break
         else:
             n_steps = itr.N // batch_size
             if cap:
@@ -309,7 +405,11 @@ class TwoStageGAN:
                 if quick_run:
                     break
         stacked = jax.device_get(recs)
-        return {k: float(np.mean([r[k] for r in stacked])) for k in TRAIN_KEYS}
+        # entries are scalars (per-step path) or (k,) arrays (scan path);
+        # every inner step has equal weight either way
+        return {key: float(np.mean(np.concatenate(
+                    [np.atleast_1d(r[key]) for r in stacked])))
+                for key in TRAIN_KEYS}
 
     # ----------------------------------------------------------- train loop
     def train(self, it_train, it_val, batch_size, num_epochs, out_dir,

@@ -186,6 +186,54 @@ def test_rotate_flip_matches_naive_rotate_then_flip():
         np.testing.assert_array_equal(got, naive(img, np.float32(theta), fh, fv))
 
 
+def test_shear_rotation_matches_gather_quarter_turns():
+    # at exact 90-degree multiples both paths are pure permutations and
+    # must agree exactly (r = 0 -> shear shifts are identically zero)
+    from terrain_tpu.data.augment import _rotate_flip_one, _rotate_flip_shear
+
+    rnd = np.random.RandomState(3)
+    imgs = rnd.rand(2, 16, 16, 4).astype(np.float32)
+    for k in range(4):
+        theta = np.full((2,), k * np.pi / 2, np.float32)
+        for fh, fv in [(False, False), (True, False), (False, True)]:
+            fhv = np.full((2,), fh)
+            fvv = np.full((2,), fv)
+            got = np.asarray(_rotate_flip_shear(
+                jnp.asarray(imgs), jnp.asarray(theta), jnp.asarray(fhv),
+                jnp.asarray(fvv)))
+            want = np.stack([np.asarray(_rotate_flip_one(
+                jnp.asarray(imgs[i]), jnp.float32(theta[i]),
+                jnp.bool_(fh), jnp.bool_(fv))) for i in range(2)])
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"k={k} fh={fh} fv={fv}")
+
+
+def test_shear_rotation_close_to_gather_smooth_image():
+    # on a smooth image the 3-pass shear resample tracks the 1-pass 4-tap
+    # bilinear closely in the rotated interior (different smoothing, same
+    # transform); corners (reflect fill re-sampled by later shears) and a
+    # 2px edge band are excluded
+    from terrain_tpu.data.augment import _rotate_flip_one, _rotate_flip_shear
+
+    h = w = 32
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = (np.sin(yy / 7.0) + np.cos(xx / 5.0) + yy / h)[..., None]
+    img = np.repeat(img, 2, axis=-1).astype(np.float32)
+    for theta in (0.4, 1.1, 2.8, -2.0, 5.5):
+        got = np.asarray(_rotate_flip_shear(
+            jnp.asarray(img[None]), jnp.full((1,), theta, np.float32),
+            jnp.zeros((1,), bool), jnp.zeros((1,), bool)))[0]
+        want = np.asarray(_rotate_flip_one(
+            jnp.asarray(img), jnp.float32(theta), False, False))
+        # interior disc only (fill conventions differ outside the disc)
+        cy, cx = (h - 1) / 2, (w - 1) / 2
+        rr = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        mask = rr < (min(h, w) / 2 - 3)
+        diff = np.abs(got - want)[mask]
+        assert diff.mean() < 0.02, (theta, diff.mean())
+        assert diff.max() < 0.15, (theta, diff.max())
+
+
 def test_prefetcher_yields_device_batches():
     x, y = make_pairs(8, 8, seed=0)
     it = Hdf5Iterator(x, y, bs=4)
