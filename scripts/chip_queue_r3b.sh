@@ -13,10 +13,30 @@ if [ -n "${PID}" ]; then
 fi
 echo "attr queue done, part B starting at $(date)" > "$LOG/queue.log"
 
+# 0. decomposition matrix for the round-3 op rewrites: full_r3ops measured
+#    76.9 ms vs 69.8 before the dense-resize/pool changes, so each change
+#    gets an isolating arm (plus the stem-activation fusion, new since the
+#    r3ops arms compiled).  Defaults everywhere else.
+attr_arm () {  # $1 tag, rest: env pairs
+  local tag="$1"; shift
+  echo "=== attr $tag $(date) ===" >> /tmp/attr_r3/queue.log
+  ( for kv in "$@"; do export "${kv?}"; done
+    timeout 2400 python scripts/attr_bench.py full \
+      > "/tmp/attr_r3/attr_$tag.log" 2>&1 )
+  tail -1 "/tmp/attr_r3/attr_$tag.log" | grep '^{' | \
+    sed "s/^{/{\"tag\": \"$tag\", /" >> /tmp/attr_r3/attr_results.jsonl || \
+    echo "{\"tag\": \"$tag\", \"error\": true}" >> /tmp/attr_r3/attr_results.jsonl
+}
+attr_arm full_r3stem                                  # everything new
+attr_arm r3_poolsas   TERRAIN_POOL_VJP=sas            # minus pool VJP
+attr_arm r3_resizexla TERRAIN_RESIZE=xla              # minus dense resize
+attr_arm r3_bcxla     TERRAIN_BC_BWD=xla32            # minus bf16 dense adjoint
+echo "decomposition matrix measured at $(date)" >> "$LOG/queue.log"
+
 # 1. freeze stable DCGAN -> fine-tune p2p with bilinear decoder, 600 epochs
 #    on the same fBm data the DCGAN was trained on (reference
 #    experiments.py:58-92 workflow).
-export TERRAIN_SYNTHETIC=1 TERRAIN_FAST=1 TERRAIN_DTYPE=bf16
+export TERRAIN_SYNTHETIC=1 TERRAIN_FAST=1 TERRAIN_DTYPE=bf16 TERRAIN_SCAN=15
 TERRAIN_EPOCHS=600 TERRAIN_SAVE_EVERY=50 TERRAIN_SWD=1 \
   timeout 14400 python -m terrain_tpu test1_nobn_finetunep2p_bilin train \
   > "$LOG/finetune_train.log" 2>&1

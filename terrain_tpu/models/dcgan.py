@@ -40,6 +40,7 @@ from terrain_tpu.ops import (
     avg_pool2d,
     batch_norm,
     conv2d,
+    conv2d_leaky,
     dense,
     get_activation,
     leaky_relu,
@@ -215,11 +216,17 @@ def default_discriminator(
             for ri in range(num_repeats + 1):
                 p = params["stages"][si][ri]
                 s = state["stages"][si][ri]
-                x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=1, padding="same", compute_dtype=cd)
                 ns = {}
                 if bn:
+                    x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=1, padding="same", compute_dtype=cd)
                     x, ns["bn"] = batch_norm(x, p["bn"], s["bn"], train=train)
-                x = leaky_relu(x, 0.2)
+                    x = leaky_relu(x, 0.2)
+                else:
+                    # conv+leaky in one op: lets the Pallas stem kernel fuse
+                    # the activation epilogue (ops/conv.py conv2d_leaky)
+                    x = conv2d_leaky(x, p["conv"]["w"], p["conv"]["b"],
+                                     slope=0.2, stride=1, padding="same",
+                                     compute_dtype=cd)
                 reps_s.append(ns)
             new_state["stages"].append(reps_s)
             x = max_pool2d(x, 2) if pool_mode == "max" else avg_pool2d(x, 2)

@@ -19,7 +19,7 @@ from jax import lax
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 
-def _try_pallas_stem(x, w, b, stride, padding, cd):
+def _try_pallas_stem(x, w, b, stride, padding, cd, slope=None):
     """Auto-dispatch the tiny-cin 5x5 s1 stem conv to the Pallas kernel on
     TPU (the ~600x-off-roofline XLA shape, docs/ROADMAP.md item 1).  Regime
     checks live in ops/pallas/conv_stem.supported; TERRAIN_PALLAS_STEM=0
@@ -33,7 +33,7 @@ def _try_pallas_stem(x, w, b, stride, padding, cd):
     if not _cs.supported(x.shape, w.shape, stride, padding):
         return None
     bb = b if b is not None else jnp.zeros((w.shape[-1],), cd)
-    return _cs.conv_stem(x.astype(cd), w.astype(cd), bb)
+    return _cs.conv_stem(x.astype(cd), w.astype(cd), bb, slope)
 
 
 def _to_pair(v):
@@ -73,6 +73,28 @@ def conv2d(x, w, b=None, *, stride=1, padding="same", compute_dtype=None):
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
+
+
+def conv2d_leaky(x, w, b=None, *, slope=0.2, stride=1, padding="same",
+                 compute_dtype=None):
+    """conv2d followed by LeakyReLU(slope), fused into the Pallas stem
+    kernel's epilogue when that regime engages (the DCGAN discriminator's
+    BN-less conv->leaky blocks, reference architectures/dcgan.py:46-52) —
+    a custom-call boundary otherwise forces the activation select into a
+    standalone HBM round trip (round-3 trace: 1.6 ms select + 1.6 ms
+    layout copy per step on the 512px stem).  TERRAIN_STEM_ACT=0 opts out
+    of the fusion; semantics are identical either way."""
+    if os.environ.get("TERRAIN_STEM_ACT", "1") != "0":
+        s = _to_pair(stride)
+        cd0 = compute_dtype or x.dtype
+        out = _try_pallas_stem(x, w, b, s, padding, cd0, slope=slope)
+        if out is not None:
+            return out
+    from terrain_tpu.ops.activations import leaky_relu
+
+    return leaky_relu(
+        conv2d(x, w, b, stride=stride, padding=padding,
+               compute_dtype=compute_dtype), slope)
 
 
 def conv2d_transpose(x, w, b=None, *, stride=2, compute_dtype=None):

@@ -166,6 +166,21 @@ def _xla_composite(x, w, b):
     return out + b.astype(out.dtype)
 
 
+def _dense_composite(x, w, b):
+    """Same linear map as the kernel/_xla_composite, but built from the
+    dense separable interp (ops/resize.py:_interp_axis) and conv2d in the
+    caller's compute dtype.  Exists for the BACKWARD: jax.image.resize's
+    transpose lowers to gathers plus f32 layout copies that the round-3
+    trace measured at ~8.6 ms of the 67.7 ms flagship step
+    (docs/artifacts_r3/attr/trace_ops.csv, source fused.py:104); this
+    composite's adjoint is dense slice/concat/conv work in bf16."""
+    from terrain_tpu.ops.conv import conv2d
+    from terrain_tpu.ops.resize import upsample_bilinear_2x_lowp
+
+    up = upsample_bilinear_2x_lowp(x)
+    return conv2d(up, w, b, stride=1, padding="same", compute_dtype=x.dtype)
+
+
 @jax.custom_vjp
 def bilinear2x_conv3x3_pallas(x, w, b):
     """Fused bilinear-x2 + conv3x3 'same'; callers check `supported`."""
@@ -177,9 +192,15 @@ def _fwd(x, w, b):
 
 
 def _bwd(res, g):
+    import os
+
     x, w, b = res
-    _, vjp = jax.vjp(_xla_composite, x, w, b)
-    dx, dw, db = vjp(g.astype(jnp.float32))
+    if os.environ.get("TERRAIN_BC_BWD", "dense") == "xla32":
+        _, vjp = jax.vjp(_xla_composite, x, w, b)
+        dx, dw, db = vjp(g.astype(jnp.float32))
+    else:
+        _, vjp = jax.vjp(_dense_composite, x, w, b)
+        dx, dw, db = vjp(g.astype(x.dtype))
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype)
 
 

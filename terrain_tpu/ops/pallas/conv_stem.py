@@ -67,7 +67,8 @@ def _row_patches(scratch, y, W):
          for dy in range(K) for dx in range(K)], axis=0)
 
 
-def _fwd_kernel(xs_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
+def _fwd_kernel(xs_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F,
+                slope):
     n = pl.program_id(0)
     hb = pl.program_id(1)
     # rows [hb*TH - 2, hb*TH + TH + 6) of the unpadded image (xp has 2 lo
@@ -86,7 +87,13 @@ def _fwd_kernel(xs_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
             _row_patches(scratch, y, W), w_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (W, F)
-        out_ref[0, y] = (row + b).astype(out_ref.dtype)
+        row = row + b
+        if slope is not None:
+            # fused LeakyReLU epilogue while the tile is in VMEM: the
+            # standalone select after this custom-call cost 1.6 ms + a
+            # 1.6 ms layout copy in the round-3 trace (activations.py:23)
+            row = jnp.maximum(row, slope * row)
+        out_ref[0, y] = row.astype(out_ref.dtype)
 
 
 def _dw_kernel(xs_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
@@ -100,6 +107,7 @@ def _dw_kernel(xs_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
     dma.start()
     dma.wait()
     part = jnp.zeros((K * K, F), jnp.float32)
+    gsum = jnp.zeros((1, F), jnp.float32)
     # per output row: (25, W) patches x (W, F) grads -> (25, F), contraction
     # over the W pixels (K = 512 fills the MXU depth)
     for y in range(TH):
@@ -108,8 +116,12 @@ def _dw_kernel(xs_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
             _row_patches(scratch, y, W), g,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        # bias grad rides along: db = sum g, accumulated into pad row 25 —
+        # the standalone g.sum re-read 268 MB of g (2.2 ms/step, round-3
+        # trace fusion.2297)
+        gsum = gsum + jnp.sum(g, axis=0, keepdims=True)
     part32 = jnp.concatenate(  # pad rows 25 -> 32: 8-aligned full-block RMW
-        [part, jnp.zeros((32 - K * K, F), jnp.float32)], axis=0)
+        [part, gsum, jnp.zeros((32 - K * K - 1, F), jnp.float32)], axis=0)
     first = jnp.logical_and(n == 0, hb == 0)
 
     @pl.when(first)
@@ -198,7 +210,7 @@ def _pad_rows(x2d, wp):
     return jnp.pad(x2d, ((0, 0), (PAD_LO, 6), (PAD_LO, wp - w - PAD_LO)))
 
 
-def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False):
+def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False, slope=None):
     n, h, wdt, _ = x.shape
     kh, kw, _, f = w.shape
     # TH=32 fits standalone but exceeded the scoped-VMEM limit by ~500K when
@@ -209,7 +221,8 @@ def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False):
     xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
     wm = w.reshape(K * K, f).astype(jnp.float32)
     bm = b.reshape(1, f).astype(jnp.float32)
-    kern = functools.partial(_fwd_kernel, TH=TH, W=wdt, Wp=Wp, F=f)
+    kern = functools.partial(_fwd_kernel, TH=TH, W=wdt, Wp=Wp, F=f,
+                             slope=slope)
     return pl.pallas_call(
         kern,
         grid=(n, h // TH),
@@ -238,7 +251,8 @@ def _conv_stem_dw_pallas(x, g, f, interpret=False):
     Wp = _w_pad(wdt)
     xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
     kern = functools.partial(_dw_kernel, TH=TH, W=wdt, Wp=Wp, F=f)
-    # output rows padded 25 -> 32 for sublane alignment; sliced by caller
+    # output rows padded 25 -> 32 for sublane alignment; row 25 carries the
+    # fused bias grad (see _dw_kernel); sliced by caller
     out = pl.pallas_call(
         kern,
         grid=(n, h // TH),
@@ -256,7 +270,7 @@ def _conv_stem_dw_pallas(x, g, f, interpret=False):
         ],
         interpret=interpret,
     )(xs, g)
-    return out[:K * K].reshape(K, K, 1, f)
+    return out[:K * K].reshape(K, K, 1, f), out[K * K]
 
 
 def _conv_stem_dx_pallas(g, w, out_dtype, interpret=False):
@@ -301,28 +315,36 @@ def _xla_conv(x, w, b):
 _INTERPRET = False  # tests flip this to exercise the kernels on CPU
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def conv_stem(x, w, b):
-    """5x5 s1 'same' conv for cin=1 via the Pallas stem kernel.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv_stem(x, w, b, slope=None):
+    """5x5 s1 'same' conv for cin=1 via the Pallas stem kernel, with an
+    optional fused LeakyReLU(slope) epilogue (the DCGAN discriminator's
+    conv->leaky pattern when BN is off, reference architectures/dcgan.py:50).
 
     Callers must have checked `supported(...)`; exactness vs the XLA path is
     tested (tests/test_pallas.py).  b may be zeros (bias folded by caller).
     """
-    return _conv_stem_fwd_pallas(x, w, b, x.dtype, interpret=_INTERPRET)
+    return _conv_stem_fwd_pallas(x, w, b, x.dtype, interpret=_INTERPRET,
+                                 slope=slope)
 
 
-def _conv_stem_fwd(x, w, b):
-    return conv_stem(x, w, b), (x, w)
+def _conv_stem_fwd(x, w, b, slope):
+    y = conv_stem(x, w, b, slope)
+    # with the fused epilogue the activation mask is recovered from the
+    # output's sign (slope > 0 preserves it), so y joins the residuals
+    return y, ((x, w, y) if slope is not None else (x, w))
 
 
-def _conv_stem_bwd(res, g):
-    x, w = res
+def _conv_stem_bwd(slope, res, g):
+    if slope is not None:
+        x, w, y = res
+        g = jnp.where(y >= 0, g, slope * g)  # leaky backward
+    else:
+        x, w = res
     f = w.shape[-1]
-    dw = _conv_stem_dw_pallas(x, g, f,
-                              interpret=_INTERPRET).astype(w.dtype)
+    dw, db = _conv_stem_dw_pallas(x, g, f, interpret=_INTERPRET)
     dx = _conv_stem_dx_pallas(g, w, x.dtype, interpret=_INTERPRET)
-    db = g.sum(axis=(0, 1, 2)).astype(jnp.float32)
-    return dx, dw, db
+    return dx, dw.astype(w.dtype), db
 
 
 conv_stem.defvjp(_conv_stem_fwd, _conv_stem_bwd)

@@ -4,14 +4,28 @@ MaxPool2DLayer(pool_size=2) and Pool2DLayer(mode='average_inc_pad') are used
 by the DCGAN discriminator (reference architectures/dcgan.py:46-52).  With
 pool_size dividing the input and no implicit padding, 'average_inc_pad'
 reduces to a plain mean over the window.
+
+Max-pool backward is a custom VJP: the default reduce_window grad lowers to
+XLA select-and-scatter, which the round-3 flagship trace measured at
+~3.8 ms/step (docs/artifacts_r3/attr/trace_ops.csv, source pool.py) — a
+sequential window scan the TPU executes off the vector units.  For the
+non-overlapping case (stride == size, size | H,W — every use in this
+codebase) the gradient is instead computed densely: broadcast the pooled
+max back over each window, equality-mask against the input, and split the
+incoming cotangent evenly among tied maxima.  Sum-preserving; on continuous
+activations ties have measure zero (XLA's select-and-scatter routes to the
+first maximum instead — tests/test_ops.py asserts equality on tie-free
+inputs).
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def max_pool2d(x, size=2, stride=None):
-    s = stride or size
+def _reduce_window_max(x, size, s):
     return lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
@@ -20,6 +34,41 @@ def max_pool2d(x, size=2, stride=None):
         window_strides=(1, s, s, 1),
         padding="VALID",
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool2d_nonoverlap(x, size):
+    return _reduce_window_max(x, size, size)
+
+
+def _mp_fwd(x, size):
+    y = _reduce_window_max(x, size, size)
+    return y, (x, y)
+
+
+def _mp_bwd(size, res, g):
+    x, y = res
+    n, h, w, c = x.shape
+    k = size
+    xr = x.reshape(n, h // k, k, w // k, k, c)
+    mask = (xr == y[:, :, None, :, None, :]).astype(g.dtype)
+    cnt = jnp.sum(mask, axis=(2, 4), keepdims=True)
+    dx = mask * (g[:, :, None, :, None, :] / cnt)
+    return (dx.reshape(x.shape).astype(x.dtype),)
+
+
+_max_pool2d_nonoverlap.defvjp(_mp_fwd, _mp_bwd)
+
+
+def max_pool2d(x, size=2, stride=None):
+    import os
+
+    s = stride or size
+    if (s == size and jnp.issubdtype(x.dtype, jnp.floating)
+            and x.shape[1] % size == 0 and x.shape[2] % size == 0
+            and os.environ.get("TERRAIN_POOL_VJP", "dense") != "sas"):
+        return _max_pool2d_nonoverlap(x, size)
+    return _reduce_window_max(x, size, s)
 
 
 def avg_pool2d(x, size=2, stride=None):

@@ -34,21 +34,66 @@ def _use_pallas():
     return os.environ.get("TERRAIN_PALLAS") == "1"
 
 
+def _interp_axis(x, axis):
+    """Factor-2 half-pixel bilinear along `axis`, dense formulation.
+
+    out[2j] = 0.25*in[j-1] + 0.75*in[j]; out[2j+1] = 0.75*in[j] +
+    0.25*in[j+1] (edge-clamped) — the docstring formula, written as two
+    shifted views + an interleave.  Everything is static slices, concats
+    and adds, so BOTH directions are dense VPU work: the round-2 resize
+    went through jax.image.resize, whose transpose lowers to gathers and
+    f32 layout copies that the round-3 trace measured at ~8.6 ms of the
+    67.7 ms flagship step (docs/artifacts_r3/attr/); this formulation's
+    adjoint is pad+slice+add and fuses.
+    """
+    take = lambda s: jax.lax.slice_in_dim(x, s.start, s.stop, axis=axis)
+    n = x.shape[axis]
+    prev = jnp.concatenate([take(slice(0, 1)), take(slice(0, n - 1))], axis)
+    nxt = jnp.concatenate([take(slice(1, n)), take(slice(n - 1, n))], axis)
+    even = 0.25 * prev + 0.75 * x
+    odd = 0.75 * x + 0.25 * nxt
+    out = jnp.stack([even, odd], axis=axis + 1)  # (..., n, 2, ...)
+    shp = list(x.shape)
+    shp[axis] = 2 * n
+    return out.reshape(shp)
+
+
+def _resize_impl():
+    import os
+
+    return os.environ.get("TERRAIN_RESIZE", "dense")
+
+
 def upsample_bilinear_2x(x):
     """Bilinear x2 with half-pixel centres + edge clamp (layers.py:13-26).
 
     TERRAIN_PALLAS=1 dispatches to the tiled Pallas kernel
-    (ops/pallas/bilinear.py); default is the XLA resize path."""
+    (ops/pallas/bilinear.py); TERRAIN_RESIZE picks between the dense
+    separable-interp path ("dense", default) and jax.image.resize ("xla") —
+    both exact, A/B'd on chip because their XLA lowerings differ sharply
+    (docs/RESULTS_r3.md)."""
     if _use_pallas():
         from terrain_tpu.ops.pallas.bilinear import bilinear_2x_pallas
 
         return bilinear_2x_pallas(x)
-    n, h, w, c = x.shape
     orig = x.dtype
-    out = jax.image.resize(
-        x.astype(jnp.float32), (n, 2 * h, 2 * w, c), method="bilinear"
-    )
+    if _resize_impl() == "xla":
+        n, h, w, c = x.shape
+        out = jax.image.resize(x.astype(jnp.float32), (n, 2 * h, 2 * w, c),
+                               method="bilinear")
+    else:
+        out = _interp_axis(_interp_axis(x.astype(jnp.float32), 1), 2)
     return out.astype(orig)
+
+
+def upsample_bilinear_2x_lowp(x):
+    """upsample_bilinear_2x without the fp32 round-trip: interpolates in
+    the input dtype.  Used by backward composites that already run the
+    surrounding convs in bf16 (ops/pallas/bilinear_conv.py)."""
+    if _resize_impl() == "xla":
+        n, h, w, c = x.shape
+        return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
+    return _interp_axis(_interp_axis(x, 1), 2)
 
 
 def upsample_bilinear_2x_weights():

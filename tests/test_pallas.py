@@ -191,3 +191,36 @@ def test_fused_op_public_dispatch_cpu(rng):
     want = bc._xla_composite(x, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dense_composite_matches_xla_composite(rng):
+    """_dense_composite (the backward's adjoint source since round 3) is
+    the same linear map as _xla_composite / the kernel."""
+    x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(bc._dense_composite(x, w, b)),
+        np.asarray(bc._xla_composite(x, w, b)), rtol=1e-4, atol=1e-4)
+
+
+def test_conv_stem_fused_leaky_matches_unfused(rng, monkeypatch):
+    """slope epilogue == conv_stem + leaky_relu, values and all grads."""
+    monkeypatch.setattr(cs, "_INTERPRET", True)
+    from terrain_tpu.ops.activations import leaky_relu
+
+    x = jnp.asarray(rng.randn(1, 256, 256, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 1, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(1, 256, 256, 8).astype(np.float32))
+    got = cs.conv_stem(x, w, b, 0.2)
+    want = leaky_relu(cs.conv_stem(x, w, b), 0.2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g_f = jax.grad(lambda *a: jnp.sum(cs.conv_stem(*a, 0.2) * cot),
+                   argnums=(0, 1, 2))(x, w, b)
+    g_u = jax.grad(lambda *a: jnp.sum(leaky_relu(cs.conv_stem(*a), 0.2) * cot),
+                   argnums=(0, 1, 2))(x, w, b)
+    for p, q in zip(g_f, g_u):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-4, atol=1e-4)
