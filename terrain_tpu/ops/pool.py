@@ -5,17 +5,18 @@ by the DCGAN discriminator (reference architectures/dcgan.py:46-52).  With
 pool_size dividing the input and no implicit padding, 'average_inc_pad'
 reduces to a plain mean over the window.
 
-Max-pool backward is a custom VJP: the default reduce_window grad lowers to
-XLA select-and-scatter, which the round-3 flagship trace measured at
-~3.8 ms/step (docs/artifacts_r3/attr/trace_ops.csv, source pool.py) — a
-sequential window scan the TPU executes off the vector units.  For the
-non-overlapping case (stride == size, size | H,W — every use in this
-codebase) the gradient is instead computed densely: broadcast the pooled
-max back over each window, equality-mask against the input, and split the
-incoming cotangent evenly among tied maxima.  Sum-preserving; on continuous
-activations ties have measure zero (XLA's select-and-scatter routes to the
-first maximum instead — tests/test_ops.py asserts equality on tie-free
-inputs).
+Max-pool backward: XLA's reduce_window grad lowers to select-and-scatter,
+which the round-3 flagship trace measured at ~3.8 ms/step
+(docs/artifacts_r3/attr/trace_ops.csv, source pool.py).  A dense custom
+VJP was built (equality-mask against the broadcast max, cotangent split
+evenly among ties — sum-preserving; select-and-scatter routes to the first
+maximum; ties have measure zero on continuous activations) and measured
+IN CONTEXT on chip: the dense backward made the full step 5.7 ms SLOWER
+(74.1 -> 68.4 when reverted, docs/RESULTS_r3.md decomposition matrix) —
+its (n,h/2,2,w/2,2,c) window reshape relayouts in bf16 cost more than the
+scatter it replaced.  It therefore defaults OFF; TERRAIN_POOL_VJP=dense
+re-enables it (grads equality-tested against the reduce_window grad on
+tie-free inputs, tests/test_ops.py).
 """
 
 from functools import partial
@@ -66,7 +67,7 @@ def max_pool2d(x, size=2, stride=None):
     s = stride or size
     if (s == size and jnp.issubdtype(x.dtype, jnp.floating)
             and x.shape[1] % size == 0 and x.shape[2] % size == 0
-            and os.environ.get("TERRAIN_POOL_VJP", "dense") != "sas"):
+            and os.environ.get("TERRAIN_POOL_VJP", "sas") == "dense"):
         return _max_pool2d_nonoverlap(x, size)
     return _reduce_window_max(x, size, s)
 

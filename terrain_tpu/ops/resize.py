@@ -61,17 +61,20 @@ def _interp_axis(x, axis):
 def _resize_impl():
     import os
 
-    return os.environ.get("TERRAIN_RESIZE", "dense")
+    return os.environ.get("TERRAIN_RESIZE", "xla")
 
 
 def upsample_bilinear_2x(x):
     """Bilinear x2 with half-pixel centres + edge clamp (layers.py:13-26).
 
     TERRAIN_PALLAS=1 dispatches to the tiled Pallas kernel
-    (ops/pallas/bilinear.py); TERRAIN_RESIZE picks between the dense
-    separable-interp path ("dense", default) and jax.image.resize ("xla") —
-    both exact, A/B'd on chip because their XLA lowerings differ sharply
-    (docs/RESULTS_r3.md)."""
+    (ops/pallas/bilinear.py); TERRAIN_RESIZE picks between jax.image.resize
+    ("xla", default) and the dense separable-interp path ("dense") — both
+    exact.  The dense path measured 3.3 ms/step SLOWER in the flagship
+    step's context (docs/RESULTS_r3.md decomposition matrix: its
+    stack-interleave lowers to stride-2 relayouts), so the conv-lowered
+    XLA resize stays the forward default; the dense formulation remains
+    the reference implementation and the low-precision adjoint vehicle."""
     if _use_pallas():
         from terrain_tpu.ops.pallas.bilinear import bilinear_2x_pallas
 

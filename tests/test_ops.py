@@ -203,13 +203,14 @@ def test_gaussian_blur_matches_scipy(rng):
 
 
 
-def test_max_pool_custom_grad_matches_select_and_scatter(rng):
-    """The dense mask backward (ops/pool.py) equals the reduce_window grad
-    (XLA select-and-scatter) on tie-free inputs."""
+def test_max_pool_custom_grad_matches_select_and_scatter(rng, monkeypatch):
+    """The dense mask backward (ops/pool.py, TERRAIN_POOL_VJP=dense) equals
+    the reduce_window grad (XLA select-and-scatter) on tie-free inputs."""
     import jax
 
     from terrain_tpu.ops.pool import _reduce_window_max
 
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "dense")
     x = jnp.array(rng.randn(2, 8, 8, 3).astype(np.float32))  # ties: measure 0
     cot = jnp.array(rng.randn(2, 4, 4, 3).astype(np.float32))
     g_dense = jax.grad(lambda a: jnp.sum(max_pool2d(a, 2) * cot))(x)
@@ -218,10 +219,11 @@ def test_max_pool_custom_grad_matches_select_and_scatter(rng):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_max_pool_custom_grad_tie_splitting():
+def test_max_pool_custom_grad_tie_splitting(monkeypatch):
     """Tied maxima split the cotangent evenly (sum-preserving)."""
     import jax
 
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "dense")
     x = jnp.ones((1, 2, 2, 1), jnp.float32)  # one window, 4-way tie
     g = jax.grad(lambda a: jnp.sum(max_pool2d(a, 2)) * 1.0)(x)
     np.testing.assert_allclose(np.asarray(g), 0.25 * np.ones((1, 2, 2, 1)))
