@@ -352,6 +352,9 @@ _MODEL_BUILDERS = {
     "earth256": lambda v: (_build_earth256(verbose=v), "earth256"),
     "earth256_stable": lambda v: (
         _build_earth256(verbose=v, disc_out="linear"), "earth256_stable"),
+    "earth256_finetunep2p": lambda v: (
+        _build_earth256(train_mode="p2p", verbose=v, disc_out="linear"),
+        "earth256_finetunep2p"),
 }
 
 
@@ -529,6 +532,49 @@ def earth256_stable(mode):
     """earth256 with the one-knob stabilization (linear DCGAN-disc final
     conv; see test1_nobn_bilin_both_stable) — the headline quality config."""
     _earth256_impl(mode, disc_out="linear", name="earth256_stable")
+
+
+@experiment
+def earth256_finetunep2p(mode):
+    """The reference's two-phase publication workflow
+    (experiments.py:58-92: freeze the DCGAN, fine-tune only the p2p stage,
+    then render the latent-interpolation clip) applied to the real-data
+    256px recipe: DCGAN weights come from earth256_stable's 600-epoch
+    checkpoint."""
+    assert mode in ("train", "interp", "gen")
+    os.environ.setdefault("TERRAIN_DATA", "data/earth256.h5")
+    os.environ.setdefault("TERRAIN_FAST", "1")
+    os.environ.setdefault("TERRAIN_EPOCHS", "600")
+    model = _build_earth256(train_mode="p2p", disc_out="linear")
+    base = "earth256_stable"
+    name = "earth256_finetunep2p"
+    bs = int(_env("TERRAIN_BS", "4"))
+    models_root = _env("TERRAIN_MODELS", "models")
+    if mode == "train":
+        model.load_model(
+            _resolve_model(os.path.join(models_root, base), "600.model"),
+            mode="dcgan")
+        _run(model, name, mode, bs)
+    elif mode == "interp":
+        model.load_model(
+            _resolve_model(os.path.join(models_root, base), "600.model"),
+            mode="dcgan")
+        model.load_model(
+            _resolve_model(os.path.join(models_root, name), "600.model"),
+            mode="p2p")
+        out = os.path.join(_env("TERRAIN_OUT", "output"), name,
+                           "interp_clip_concat_bothdet")
+        model.generate_interpolation_clip(100, 4, out, concat=True,
+                                          deterministic=True)
+    elif mode == "gen":
+        model.load_model(
+            _resolve_model(os.path.join(models_root, base), "600.model"),
+            mode="dcgan")
+        model.load_model(
+            _resolve_model(os.path.join(models_root, name), "600.model"),
+            mode="p2p")
+        model.generate_gz(100, 10, os.path.join(
+            _env("TERRAIN_OUT", "output"), name, "gen"))
 
 
 @experiment
