@@ -9,6 +9,8 @@ key).  This removes the reference's per-step host h5-read + upload entirely
 gather -> cast -> normalize -> augment -> conv into one program.
 """
 
+import hashlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +30,14 @@ class DeviceDataset:
         self.N = x.shape[0]
         self.is_a_grayscale = is_a_grayscale
         self.is_b_grayscale = is_b_grayscale
+        # content digest: the dataset is closure-captured into compiled
+        # programs (see make_prepare), so anything that caches executables
+        # keyed by shapes (utils/aot.py) must also key on the VALUES;
+        # ~250 MB hashes in about a second at construction
+        h = hashlib.blake2b(digest_size=8)
+        h.update(x.tobytes())
+        h.update(y.tobytes())
+        self.digest = h.hexdigest()
         # replicate the (small) dataset across the mesh if one is given
         if sharding is not None:
             self.x = jax.device_put(x, sharding)

@@ -257,7 +257,7 @@ class TwoStageGAN:
             if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
                 from terrain_tpu.utils.aot import AotLazy
 
-                base = f"{self.train_mode}_{self.in_shp}"
+                base = f"{self.train_mode}_{self.in_shp}_{ds.digest}"
                 tr = AotLazy(tr, f"{base}_train", aot_dir)
                 ev = AotLazy(ev, f"{base}_eval", aot_dir)
             entry = (ds, tr, ev)
@@ -289,7 +289,7 @@ class TwoStageGAN:
             if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
                 from terrain_tpu.utils.aot import AotLazy
 
-                base = f"{self.train_mode}_{self.in_shp}_scan{k}"
+                base = f"{self.train_mode}_{self.in_shp}_{ds.digest}_scan{k}"
                 tr = AotLazy(tr, f"{base}_train", aot_dir)
                 ev = AotLazy(ev, f"{base}_eval", aot_dir)
             entry = (ds, tr, ev)

@@ -25,6 +25,7 @@ Usage:
 same shapes/dtypes/shardings as the real calls (values are ignored).
 """
 
+import functools
 import hashlib
 import os
 import pickle
@@ -32,24 +33,62 @@ import tempfile
 
 import jax
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
+
+
+@functools.lru_cache(maxsize=1)
+def _source_digest():
+    """Hash of every terrain_tpu source file — a cheap (<1 MB) stand-in for
+    'the program text', so ANY code edit invalidates stored executables
+    without having to re-trace the jaxpr at load time (tracing the 512px
+    four-network step costs minutes on this 1-core host and was half the
+    measured AOT cold-start, docs/RESULTS_r3.md)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.blake2b(digest_size=8)
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            if name.endswith(".py"):
+                p = os.path.join(dirpath, name)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
 
 
 def _fingerprint(jitted_fn, example_args, example_kwargs):
     """Hash of everything the serialized executable is conditioned on.
 
-    The traced jaxpr text covers the program (closure constants included by
-    value for scalars / by shape+dtype for arrays); device kind + platform
-    + jax version cover the toolchain.  Changing any of these must miss.
+    Default keying ("shapes"): toolchain (jax version, platform, device
+    kind/count) + the terrain_tpu source digest + the arg tree's
+    shapes/dtypes.  Closure-captured array constants (e.g. the
+    device-resident dataset) are NOT covered — callers embed a content
+    digest in the `tag` (DeviceDataset.digest); scalar config reaching the
+    program through closures must likewise be in the tag.
+
+    TERRAIN_AOT_KEY=jaxpr restores the exhaustive program-text key: it
+    covers everything but costs a full trace at every load (minutes for
+    the 512px step on this host — defeating the point of the store).
     """
     dev = jax.devices()[0]
     parts = [
         f"v{_FORMAT_VERSION}", jax.__version__, dev.platform,
         getattr(dev, "device_kind", "?"), str(jax.device_count()),
     ]
-    tr = jax.make_jaxpr(
-        lambda *a, **k: jitted_fn(*a, **k))(*example_args, **example_kwargs)
-    parts.append(str(tr))
+    if os.environ.get("TERRAIN_AOT_KEY", "shapes") == "jaxpr":
+        tr = jax.make_jaxpr(
+            lambda *a, **k: jitted_fn(*a, **k))(*example_args,
+                                                **example_kwargs)
+        parts.append(str(tr))
+    else:
+        parts.append(_source_digest())
+        for leaf in jax.tree.leaves((example_args, example_kwargs)):
+            shape = getattr(leaf, "shape", None)
+            dtype = getattr(leaf, "dtype", type(leaf).__name__)
+            parts.append(f"{shape}/{dtype}")
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None:
+                parts.append(str(sh))
     h = hashlib.sha256("\0".join(parts).encode()).hexdigest()[:16]
     return h
 
@@ -64,6 +103,13 @@ def aot_compile(jitted_fn, example_args, tag, cache_dir,
 
     Returns a callable with jit-call semantics (positional args matching
     example_args).  On any load failure the entry is ignored and rebuilt.
+
+    CONTRACT (default "shapes" keying): `tag` must uniquely identify the
+    program among calls sharing a store — the fingerprint only covers the
+    toolchain, the terrain_tpu source digest and the arg shapes/dtypes,
+    not the program text.  Trainer tags embed mode/in_shp/dataset-digest;
+    set TERRAIN_AOT_KEY=jaxpr for exhaustive program-text keying (costs a
+    full trace per load).
     """
     from jax.experimental import serialize_executable as se
 

@@ -23,12 +23,31 @@ def test_aot_compile_roundtrip(tmp_path, capsys):
     assert "loaded" in capsys.readouterr().out
 
 
-def test_aot_fingerprint_distinguishes_programs(tmp_path):
+def test_aot_fingerprint_distinguishes_programs(tmp_path, monkeypatch):
+    # exhaustive (jaxpr) keying: different programs, same tag -> two entries
+    monkeypatch.setenv("TERRAIN_AOT_KEY", "jaxpr")
     d = str(tmp_path / "aot")
     a = (jnp.arange(4.0),)
     aot_compile(jax.jit(lambda x: x * 2), a, "fn", d)
     aot_compile(jax.jit(lambda x: x * 3), a, "fn", d)
-    # different programs, same tag: two distinct entries
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
+
+
+def test_aot_shapes_key_contract(tmp_path):
+    """Default keying is (toolchain, source digest, shapes) — the TAG must
+    uniquely identify the program (trainer tags embed mode/shape/dataset
+    digest).  Same tag + same shapes = one entry reused; distinct tags get
+    distinct entries."""
+    d = str(tmp_path / "aot")
+    a = (jnp.arange(4.0),)
+    f2 = aot_compile(jax.jit(lambda x: x * 2), a, "fn2", d)
+    f3 = aot_compile(jax.jit(lambda x: x * 3), a, "fn3", d)
+    np.testing.assert_allclose(np.asarray(f2(*a)), np.arange(4.0) * 2)
+    np.testing.assert_allclose(np.asarray(f3(*a)), np.arange(4.0) * 3)
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
+    # same tag, same shapes: loads the stored executable (one entry)
+    f2b = aot_compile(jax.jit(lambda x: x * 2), a, "fn2", d)
+    np.testing.assert_allclose(np.asarray(f2b(*a)), np.arange(4.0) * 2)
     assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
 
 
@@ -60,4 +79,5 @@ def test_trainer_aot_cache_steps(tmp_path, monkeypatch):
         jax.random.PRNGKey(0), jnp.float32(1e-4))
     assert all(np.isfinite(float(v)) for v in losses.values())
     entries = [p for p in os.listdir(d) if p.endswith(".aotx")]
-    assert len(entries) == 1 and entries[0].startswith("both_16_train")
+    assert len(entries) == 1 and entries[0].startswith("both_16_")\
+        and "_train" in entries[0]
