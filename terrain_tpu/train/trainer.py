@@ -223,7 +223,14 @@ class TwoStageGAN:
     def _scan_k(n_steps):
         """Resolve TERRAIN_SCAN into a chunk size that divides the epoch's
         step count exactly (one compiled shape, no ragged-tail program —
-        a second shape would be another cold relay compile)."""
+        a second shape would be another cold relay compile).
+
+        The scan superstep measured 63.7 vs 65.8 ms/step on the 512px
+        flagship (docs/RESULTS_r3.md) with exactly the per-step numerics
+        (tests/test_scan_step.py), so the TPU launch script
+        (scripts/experiment_tpu.sh) sets TERRAIN_SCAN=16.  The library
+        default stays 1: scanning k steps multiplies CPU trace time by k,
+        which punishes small off-chip workflows (and the test suite)."""
         want = int(os.environ.get("TERRAIN_SCAN", "1") or "1")
         if want <= 1 or n_steps <= 1 or jax.process_count() > 1:
             return 1
