@@ -10,6 +10,7 @@ gather -> cast -> normalize -> augment -> conv into one program.
 """
 
 import hashlib
+import os
 
 import jax
 import jax.numpy as jnp
@@ -20,13 +21,27 @@ from terrain_tpu.data.augment import augment_pair
 
 class DeviceDataset:
     """Holds paired uint8 arrays on device; builds `prepare` fns for the
-    train step (see terrain_tpu.train.step.build_train_step)."""
+    train step (see terrain_tpu.train.step.build_train_step).
+
+    TERRAIN_DEVICE_DATA selects how the arrays reach the compiled step:
+      "const" (default) — closure-captured as HLO constants.  Zero per-call
+        overhead, but the executable is dataset-dependent (~250 MB fat, and
+        a dataset change is a recompile).  The right trade on the axon
+        remote-compile relay, where per-argument staging costs minutes.
+      "arg" — passed as jit arguments (they are already committed device
+        arrays, so on a local runtime this is zero-copy).  The executable
+        is dataset-independent: compile caches / the AOT store hit across
+        dataset changes and the program stays thin.  Regresses ~20x on the
+        relay runtime (measured round 2) — gate for non-relay runtimes.
+    """
 
     def __init__(self, x, y, is_a_grayscale=True, is_b_grayscale=False,
-                 sharding=None):
+                 sharding=None, mode=None):
         x = np.asarray(x, dtype=np.uint8)
         y = np.asarray(y, dtype=np.uint8)
         assert x.shape[0] == y.shape[0]
+        self.mode = mode or os.environ.get("TERRAIN_DEVICE_DATA", "const")
+        assert self.mode in ("const", "arg"), self.mode
         self.N = x.shape[0]
         self.is_a_grayscale = is_a_grayscale
         self.is_b_grayscale = is_b_grayscale
@@ -52,22 +67,49 @@ class DeviceDataset:
                                 self.is_a_grayscale, self.is_b_grayscale)
 
     def batch_args(self, Z, idx):
-        """The train-step batch tuple for this dataset's prepare fn."""
+        """The train-step batch tuple for this dataset's prepare fn.
+        In "arg" mode the device arrays ride along as jit arguments."""
+        if self.mode == "arg":
+            return (Z, idx, self.x, self.y)
         return (Z, idx)
 
-    def make_prepare(self, augment=True):
-        """Returns prepare((Z, idx), rng) -> (Z, X, Y).
+    def scan_batch_args(self, Z_k, idx_k):
+        """Per-step (stacked on a leading k axis) part of the scan batch.
+        The dataset arrays must NOT be stacked into the scanned xs — in
+        "arg" mode they enter the scan as invariant extras (scan_extra)."""
+        return (Z_k, idx_k)
 
-        The dataset arrays are closure-captured (HLO constants).  We tried
-        passing them as jit arguments instead — it keeps the compilation
-        cache small and dataset-independent — but on the axon relay runtime
-        per-call staging of the ~250 MB argument pair regressed epoch wall
-        time ~20x (7 s compute became 2-4 min/epoch), so constants it is;
-        the cost is a fat executable (and a recompile if dataset values
-        change), the win is zero per-call overhead.
+    def scan_extra(self):
+        """Scan-invariant extra step args ("arg" mode: the device arrays);
+        build_scan_step appends these to each inner step's batch."""
+        if self.mode == "arg":
+            return (self.x, self.y)
+        return ()
+
+    def make_prepare(self, augment=True):
+        """Returns prepare(batch, rng) -> (Z, X, Y).
+
+        "const" mode closure-captures the arrays (HLO constants): zero
+        per-call overhead, measured necessary on the axon relay runtime
+        (argument staging there regressed epoch wall time ~20x — 7 s of
+        compute became 2-4 min/epoch).  "arg" mode reads them from the
+        batch tuple instead, keeping the executable dataset-independent
+        (see class docstring / TERRAIN_DEVICE_DATA).
         """
-        x_u8, y_u8 = self.x, self.y
         is_a, is_b = self.is_a_grayscale, self.is_b_grayscale
+
+        if self.mode == "arg":
+            def prepare(batch, rng):
+                Z, idx, x_u8, y_u8 = batch
+                X, Y = gather_normalize(x_u8, y_u8, idx, is_a, is_b)
+                if augment:
+                    X, Y = augment_pair(
+                        jax.random.fold_in(rng, 0x5eed), X, Y)
+                return Z, X, Y
+
+            return prepare
+
+        x_u8, y_u8 = self.x, self.y
 
         def prepare(batch, rng):
             Z, idx = batch

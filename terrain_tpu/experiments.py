@@ -24,6 +24,10 @@ Runtime knobs come from the environment instead of editing source:
   TERRAIN_CHECK_NANS "1" -> host-side non-finite loss check per epoch;
                      "2" -> checkify float checks compiled into the step
                      (a NaN raises at the producing op, debug-only cost)
+  TERRAIN_DEVICE_DATA "arg" -> pass the HBM-cached dataset to the compiled
+                     step as jit arguments (dataset-independent executable)
+                     instead of HLO constants; default "const" — the right
+                     trade on the axon relay (see data/device_cache.py)
 """
 
 import glob

@@ -218,17 +218,21 @@ def build_scan_step(train_step):
     calls with the same per-step (batch, rng) inputs — asserted by
     tests/test_scan_step.py.
 
-    scan_step(params, states, opt_states, batches, rngs, lr) where
+    scan_step(params, states, opt_states, batches, rngs, lr, *extra) where
     `batches` is the per-step batch pytree stacked on a new leading k axis
-    and `rngs` stacks the k per-step keys.  Losses come back as a dict of
-    (k,) arrays (one value per inner step).
+    and `rngs` stacks the k per-step keys.  `extra` are scan-INVARIANT
+    step args appended to every inner step's batch tuple (the "arg"-mode
+    dataset arrays, DeviceDataset.scan_extra — stacking those into the
+    scanned xs would replicate the dataset k times).  Losses come back as
+    a dict of (k,) arrays (one value per inner step).
     """
 
-    def scan_step(params, states, opt_states, batches, rngs, lr):
+    def scan_step(params, states, opt_states, batches, rngs, lr, *extra):
         def body(carry, xs):
             p, s, o = carry
             batch, rng = xs
-            p, s, o, losses = train_step(p, s, o, batch, rng, lr)
+            p, s, o, losses = train_step(p, s, o, tuple(batch) + extra,
+                                         rng, lr)
             return (p, s, o), losses
 
         (params, states, opt_states), losses = jax.lax.scan(
@@ -241,10 +245,11 @@ def build_scan_step(train_step):
 def build_scan_eval(eval_step):
     """Scan analog of build_scan_step for the (stateless) eval pass."""
 
-    def scan_eval(params, states, batches, rngs):
+    def scan_eval(params, states, batches, rngs, *extra):
         def body(carry, xs):
             batch, rng = xs
-            return carry, eval_step(params, states, batch, rng)
+            return carry, eval_step(params, states, tuple(batch) + extra,
+                                    rng)
 
         _, losses = jax.lax.scan(body, (), (batches, rngs))
         return losses

@@ -366,16 +366,17 @@ class TwoStageGAN:
                                          self._step_counter + k + 1)
                     self._step_counter += k
                     rngs = self._fold_keys(self._base_key, counters)
-                    batches = itr.batch_args(self._put_scan(zs),
-                                             self._put_scan(idxs))
+                    batches = itr.scan_batch_args(self._put_scan(zs),
+                                                  self._put_scan(idxs))
+                    extra = itr.scan_extra()
                     if train:
                         (self.params, self.states, self.opt_states,
                          losses) = tr_scan(
                             self.params, self.states, self.opt_states,
-                            batches, rngs, jnp.float32(self.lr))
+                            batches, rngs, jnp.float32(self.lr), *extra)
                     else:
                         losses = ev_scan(self.params, self.states, batches,
-                                         rngs)
+                                         rngs, *extra)
                     recs.append(losses)  # dict of (k,) arrays
             else:
                 tr_step, ev_step = self._get_cache_steps(itr)

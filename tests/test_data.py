@@ -103,6 +103,60 @@ def test_device_cache_prepare_shapes():
     assert float(X.min()) >= 0.0 and float(X.max()) <= 1.0
 
 
+def test_device_cache_arg_mode_matches_const():
+    # TERRAIN_DEVICE_DATA=arg passes the dataset as jit arguments instead
+    # of HLO constants (VERDICT r2 weak-8): numerics must be identical and
+    # the lowered program must take the arrays as parameters.
+    x, y = make_pairs(8, 16, seed=2)
+    dsc = DeviceDataset(x, y, True, False, mode="const")
+    dsa = DeviceDataset(x, y, True, False, mode="arg")
+    Z = jnp.ones((3, 8))
+    idx = jnp.array([1, 4, 7], dtype=jnp.int32)
+    rng = jax.random.PRNGKey(5)
+    _, Xc, Yc = jax.jit(dsc.make_prepare(True))(dsc.batch_args(Z, idx), rng)
+    _, Xa, Ya = jax.jit(dsa.make_prepare(True))(dsa.batch_args(Z, idx), rng)
+    np.testing.assert_array_equal(np.asarray(Xc), np.asarray(Xa))
+    np.testing.assert_array_equal(np.asarray(Yc), np.asarray(Ya))
+    # const mode: 2 batch leaves; arg mode: the uint8 arrays ride along
+    assert len(dsc.batch_args(Z, idx)) == 2
+    assert len(dsa.batch_args(Z, idx)) == 4
+    assert dsa.scan_extra()[0] is dsa.x and len(dsc.scan_extra()) == 0
+    # the arg-mode lowering must reference the dataset via parameters, so
+    # the HLO text cannot embed the 8x16x16x3 uint8 constant
+    txt = jax.jit(dsa.make_prepare(False)).lower(
+        dsa.batch_args(Z, idx), rng).as_text()
+    assert "%arg2: tensor<8x16x16x1xui8>" in txt  # a parameter type...
+    txtc = jax.jit(dsc.make_prepare(False)).lower(
+        dsc.batch_args(Z, idx), rng).as_text()
+    assert len(txtc) > len(txt)  # ...while const mode embeds the values
+
+
+def test_device_cache_arg_mode_scan_step():
+    # scan path: dataset arrays enter as scan-invariant extras, not
+    # stacked xs (build_scan_step appends them to each inner batch)
+    from terrain_tpu.train.step import build_scan_eval
+
+    x, y = make_pairs(6, 16, seed=3)
+    ds = DeviceDataset(x, y, True, False, mode="arg")
+    prep = ds.make_prepare(augment=False)
+
+    def eval_step(params, states, batch, rng):
+        Z, X, Y = prep(batch, rng)
+        return {"m": X.mean() + Y.mean() + Z.mean()}
+
+    k, bs = 2, 3
+    Zk = jnp.ones((k, bs, 8))
+    idxk = jnp.array([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+    rngs = jax.random.split(jax.random.PRNGKey(0), k)
+    scan = jax.jit(build_scan_eval(eval_step))
+    losses = scan({}, {}, ds.scan_batch_args(Zk, idxk), rngs,
+                  *ds.scan_extra())
+    per = [eval_step({}, {}, (Zk[i], idxk[i], ds.x, ds.y), rngs[i])["m"]
+           for i in range(k)]
+    np.testing.assert_allclose(np.asarray(losses["m"]),
+                               np.asarray(jnp.stack(per)), rtol=1e-6)
+
+
 def test_augment_pairs_identically():
     # encode coordinates so we can verify X and Y get the same transform
     h = w = 16
