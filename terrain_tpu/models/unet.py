@@ -41,6 +41,7 @@ from terrain_tpu.ops import (
     batch_norm,
     bilinear2x_conv3x3,
     conv2d,
+    conv2d_leaky,
     conv2d_transpose,
     get_activation,
     leaky_relu,
@@ -237,8 +238,12 @@ def _patchgan(name, in_shp, is_a_grayscale, is_b_grayscale, nf, act, mul_factor,
             for r in range(num_repeats + 1):
                 p = params["blocks"][idx][r]
                 s = state["blocks"][idx][r]
-                x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2 if r == 0 else 1, padding="same", compute_dtype=cd)
-                x = leaky_relu(x, 0.01)
+                # conv2d_leaky lets the small-cin Pallas first-layer kernel
+                # fuse the activation into its epilogue (like the DCGAN
+                # disc stem); identical to conv2d + leaky_relu otherwise
+                x = conv2d_leaky(x, p["conv"]["w"], p["conv"]["b"],
+                                 slope=0.01, stride=2 if r == 0 else 1,
+                                 padding="same", compute_dtype=cd)
                 ns = {}
                 if bn_rule(idx):
                     # reference order: BN *after* the activation (p2p.py:285-288)

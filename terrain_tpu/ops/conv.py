@@ -36,6 +36,24 @@ def _try_pallas_stem(x, w, b, stride, padding, cd, slope=None):
     return _cs.conv_stem(x.astype(cd), w.astype(cd), bb, slope)
 
 
+def _try_pallas_s2(x, w, b, stride, padding, cd, slope=None):
+    """Auto-dispatch the small-cin 3x3 s2 first-layer convs (U-Net encoder
+    conv1, PatchGAN conv1 — 15-30x off their bandwidth bounds in XLA per
+    the round-3 trace) to the Pallas plane-stack kernel.  Opt-IN via
+    TERRAIN_PALLAS_CONVS2=1 until the on-chip A/B settles a default
+    (round-3 lesson: no dense rewrite ships without an in-context chip
+    measurement); TERRAIN_PALLAS_CONV=0 still masters all conv kernels."""
+    master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
+    if os.environ.get("TERRAIN_PALLAS_CONVS2", "0") != "1" or master == "0":
+        return None
+    from terrain_tpu.ops.pallas import conv_s2 as _c2
+
+    if not _c2.supported(x.shape, w.shape, stride, padding):
+        return None
+    bb = b if b is not None else jnp.zeros((w.shape[-1],), cd)
+    return _c2.conv_s2(x.astype(cd), w.astype(cd), bb, slope)
+
+
 def _to_pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -54,6 +72,8 @@ def conv2d(x, w, b=None, *, stride=1, padding="same", compute_dtype=None):
     s = _to_pair(stride)
     cd0 = compute_dtype or x.dtype
     out = _try_pallas_stem(x, w, b, s, padding, cd0)
+    if out is None:
+        out = _try_pallas_s2(x, w, b, s, padding, cd0)
     if out is not None:
         return out
     if padding == "same":
@@ -88,6 +108,8 @@ def conv2d_leaky(x, w, b=None, *, slope=0.2, stride=1, padding="same",
         s = _to_pair(stride)
         cd0 = compute_dtype or x.dtype
         out = _try_pallas_stem(x, w, b, s, padding, cd0, slope=slope)
+        if out is None:
+            out = _try_pallas_s2(x, w, b, s, padding, cd0, slope=slope)
         if out is not None:
             return out
     from terrain_tpu.ops.activations import leaky_relu

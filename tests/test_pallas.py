@@ -224,3 +224,114 @@ def test_conv_stem_fused_leaky_matches_unfused(rng, monkeypatch):
     for p, q in zip(g_f, g_u):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------- small-cin 3x3 s2 conv (conv_s2)
+
+from terrain_tpu.ops.pallas import conv_s2 as c2
+
+
+def _xla_s2(x, w, b):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + b
+
+
+@pytest.mark.parametrize("shape,f", [((2, 16, 16, 1), 8),
+                                     ((1, 32, 16, 4), 16),
+                                     ((2, 16, 32, 2), 8)])
+def test_conv_s2_forward_matches_xla(shape, f, rng, monkeypatch):
+    monkeypatch.setattr(c2, "_INTERPRET", True)
+    cin = shape[-1]
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, cin, f).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(f).astype(np.float32))
+    got = c2.conv_s2(x, w, b)
+    want = _xla_s2(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_s2_grads_match_xla(rng, monkeypatch):
+    monkeypatch.setattr(c2, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32))
+
+    def loss_pl(x, w, b):
+        return jnp.sum(c2.conv_s2(x, w, b) * cot)
+
+    def loss_xla(x, w, b):
+        return jnp.sum(_xla_s2(x, w, b) * cot)
+
+    gx_p, gw_p, gb_p = jax.grad(loss_pl, argnums=(0, 1, 2))(x, w, b)
+    gx_x, gw_x, gb_x = jax.grad(loss_xla, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_s2_fused_leaky_matches_unfused(rng, monkeypatch):
+    """slope epilogue == conv_s2 + leaky_relu, values and all grads
+    (the PatchGAN conv1 -> leaky pattern, BN off)."""
+    monkeypatch.setattr(c2, "_INTERPRET", True)
+    from terrain_tpu.ops.activations import leaky_relu
+
+    x = jnp.asarray(rng.randn(1, 32, 32, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    got = c2.conv_s2(x, w, b, 0.01)
+    want = leaky_relu(c2.conv_s2(x, w, b), 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g_f = jax.grad(lambda *a: jnp.sum(c2.conv_s2(*a, 0.01) * cot),
+                   argnums=(0, 1, 2))(x, w, b)
+    g_u = jax.grad(lambda *a: jnp.sum(leaky_relu(c2.conv_s2(*a), 0.01) * cot),
+                   argnums=(0, 1, 2))(x, w, b)
+    for p, q in zip(g_f, g_u):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_conv_s2_regime_guard():
+    # the two hot first-layer shapes on TPU
+    assert c2.supported((4, 512, 512, 1), (3, 3, 1, 64), (2, 2), "same",
+                        backend="tpu")
+    assert c2.supported((8, 512, 512, 4), (3, 3, 4, 64), (2, 2), "same",
+                        backend="tpu")
+    # earth256-scale
+    assert c2.supported((4, 256, 256, 1), (3, 3, 1, 64), (2, 2), "same",
+                        backend="tpu")
+    # wrong backend/kernel/stride/cin, lane-misaligned W -> XLA
+    assert not c2.supported((4, 512, 512, 1), (3, 3, 1, 64), (2, 2), "same",
+                            backend="cpu")
+    assert not c2.supported((4, 512, 512, 8), (3, 3, 8, 64), (2, 2), "same",
+                            backend="tpu")
+    assert not c2.supported((4, 512, 512, 1), (5, 5, 1, 64), (2, 2), "same",
+                            backend="tpu")
+    assert not c2.supported((4, 512, 512, 1), (3, 3, 1, 64), (1, 1), "same",
+                            backend="tpu")
+    assert not c2.supported((4, 512, 200, 1), (3, 3, 1, 64), (2, 2), "same",
+                            backend="tpu")
+
+
+def test_conv_s2_dispatch_flag(rng, monkeypatch):
+    """TERRAIN_PALLAS_CONVS2 is opt-in: conv2d must NOT route to the
+    kernel by default, and must route when set (checked via interpret
+    on a fake-TPU regime decision is impossible on CPU, so assert the
+    default-off path just matches XLA)."""
+    from terrain_tpu.ops.conv import conv2d
+
+    x = jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 1, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    monkeypatch.setenv("TERRAIN_PALLAS_CONVS2", "1")
+    got = conv2d(x, w, b, stride=2, padding="same")  # CPU -> XLA fallback
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_s2(x, w, b)),
+                               rtol=1e-5, atol=1e-5)
