@@ -54,6 +54,26 @@ def _try_pallas_s2(x, w, b, stride, padding, cd, slope=None):
     return _c2.conv_s2(x.astype(cd), w.astype(cd), bb, slope)
 
 
+def _try_pallas_thin(x, w, b, stride, padding, cd):
+    """Auto-dispatch thin-cout 3x3 s1 convs (the phase-decomposed DCGAN
+    generator output stage — 4 live output channels on the 128-lane MXU,
+    15-30x off its bandwidth bound per the round-3 trace roofline) to the
+    transposed-layout Pallas kernel.  Opt-IN via TERRAIN_PALLAS_THIN=1
+    until the on-chip in-context A/B settles a default (round-3 lesson);
+    TERRAIN_PALLAS_CONV=0 still masters all conv kernels."""
+    master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
+    if os.environ.get("TERRAIN_PALLAS_THIN", "0") != "1" or master == "0":
+        return None
+    from terrain_tpu.ops.pallas import conv_thin as _ct
+
+    if not _ct.supported(x.shape, w.shape, stride, padding):
+        return None
+    out = _ct.conv_thin(x.astype(cd), w.astype(cd))
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
 def _to_pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
@@ -74,6 +94,8 @@ def conv2d(x, w, b=None, *, stride=1, padding="same", compute_dtype=None):
     out = _try_pallas_stem(x, w, b, s, padding, cd0)
     if out is None:
         out = _try_pallas_s2(x, w, b, s, padding, cd0)
+    if out is None:
+        out = _try_pallas_thin(x, w, b, s, padding, cd0)
     if out is not None:
         return out
     if padding == "same":

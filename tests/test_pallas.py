@@ -335,3 +335,106 @@ def test_conv_s2_dispatch_flag(rng, monkeypatch):
     got = conv2d(x, w, b, stride=2, padding="same")  # CPU -> XLA fallback
     np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_s2(x, w, b)),
                                rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------- thin-cout 3x3 s1 conv (conv_thin)
+
+from terrain_tpu.ops.pallas import conv_thin as ct
+
+
+def _xla_thin(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("shape,f", [((2, 16, 16, 8), 4),
+                                     ((1, 32, 16, 32), 8),
+                                     ((2, 16, 32, 16), 1)])
+def test_conv_thin_forward_matches_xla(shape, f, rng, monkeypatch):
+    monkeypatch.setattr(ct, "_INTERPRET", True)
+    cin = shape[-1]
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, cin, f).astype(np.float32) * 0.1)
+    got = ct.conv_thin(x, w)
+    want = _xla_thin(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_thin_grads_match_xla(rng, monkeypatch):
+    """All three kernels (fwd, dX via the role-swapped fwd body, dW)
+    against the XLA composite's autodiff."""
+    monkeypatch.setattr(ct, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(2, 16, 16, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 16, 4).astype(np.float32) * 0.1)
+    cot = jnp.asarray(rng.randn(2, 16, 16, 4).astype(np.float32))
+
+    gx_p, gw_p = jax.grad(
+        lambda x, w: jnp.sum(ct.conv_thin(x, w) * cot), argnums=(0, 1))(x, w)
+    gx_x, gw_x = jax.grad(
+        lambda x, w: jnp.sum(_xla_thin(x, w) * cot), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_conv_thin_regime_guard():
+    # the flagship shape: DCGAN gen output stage after phase decomposition
+    # (ops/fused.py upsample2x_nearest_conv: (5,5,32,1) -> (3,3,32,4))
+    assert ct.supported((4, 256, 256, 32), (3, 3, 32, 4), (1, 1), "same",
+                        backend="tpu")
+    # earth256-scale
+    assert ct.supported((4, 128, 128, 32), (3, 3, 32, 4), (1, 1), "same",
+                        backend="tpu")
+    # wrong backend / fat cout / stride / kernel / lane-misaligned W -> XLA
+    assert not ct.supported((4, 256, 256, 32), (3, 3, 32, 4), (1, 1), "same",
+                            backend="cpu")
+    assert not ct.supported((4, 256, 256, 32), (3, 3, 32, 64), (1, 1), "same",
+                            backend="tpu")
+    assert not ct.supported((4, 256, 256, 32), (3, 3, 32, 4), (2, 2), "same",
+                            backend="tpu")
+    assert not ct.supported((4, 256, 256, 32), (5, 5, 32, 4), (1, 1), "same",
+                            backend="tpu")
+    assert not ct.supported((4, 256, 200, 32), (3, 3, 32, 4), (1, 1), "same",
+                            backend="tpu")
+    # cin=1 is the stem's regime, not this kernel's
+    assert not ct.supported((4, 512, 512, 1), (3, 3, 1, 4), (1, 1), "same",
+                            backend="tpu")
+
+
+def test_conv_thin_dispatch_flag(rng, monkeypatch):
+    """TERRAIN_PALLAS_THIN is opt-in: conv2d must NOT route to the kernel
+    by default; on CPU the regime guard routes to XLA either way, so the
+    flagged path must still match XLA."""
+    from terrain_tpu.ops.conv import conv2d
+
+    x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    monkeypatch.setenv("TERRAIN_PALLAS_THIN", "1")
+    got = conv2d(x, w, b, stride=1, padding="same")  # CPU -> XLA fallback
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_thin(x, w) + b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_thin_under_fused_output_stage(rng, monkeypatch):
+    """conv_thin slotted under ops/fused.upsample2x_nearest_conv's phase
+    conv (the integration point: the DCGAN generator output stage) must
+    reproduce the unfused upsample->conv composite exactly."""
+    monkeypatch.setattr(ct, "_INTERPRET", True)
+    from terrain_tpu.ops.fused import _depth_to_space2, _phase_grouping
+
+    x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    w5 = jnp.asarray(rng.randn(5, 5, 8, 1).astype(np.float32) * 0.1)
+    G, n_taps = _phase_grouping(5)
+    K3 = jnp.einsum("hwio,pha,qwb->abipqo", w5, G, G).reshape(3, 3, 8, 4)
+    got = _depth_to_space2(ct.conv_thin(x, K3), 1)
+    # reference: nearest x2 upsample then 5x5 'same' conv
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    want = jax.lax.conv_general_dilated(
+        up, w5, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
