@@ -438,3 +438,31 @@ def test_conv_thin_under_fused_output_stage(rng, monkeypatch):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv_thin_bf16_jit_grads(rng, monkeypatch):
+    """The flagship dtype path: bf16 inputs under jit, fwd + both grads
+    finite and close to the f32 XLA reference (kernel accumulates f32)."""
+    monkeypatch.setattr(ct, "_INTERPRET", True)
+    x32 = rng.randn(1, 16, 16, 8).astype(np.float32)
+    w32 = (rng.randn(3, 3, 8, 4) * 0.1).astype(np.float32)
+    cot32 = rng.randn(1, 16, 16, 4).astype(np.float32)
+    x, w, cot = (jnp.asarray(a, jnp.bfloat16) for a in (x32, w32, cot32))
+
+    got = jax.jit(ct.conv_thin)(x, w)
+    want = _xla_thin(jnp.asarray(x32), jnp.asarray(w32))
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0.1, atol=0.05)
+
+    gx, gw = jax.jit(jax.grad(
+        lambda x, w: jnp.sum((ct.conv_thin(x, w) * cot).astype(jnp.float32)),
+        argnums=(0, 1)))(x, w)
+    rx, rw = jax.grad(
+        lambda x, w: jnp.sum(_xla_thin(x, w) * jnp.asarray(cot32)),
+        argnums=(0, 1))(jnp.asarray(x32), jnp.asarray(w32))
+    for g, r in ((gx, rx), (gw, rw)):
+        g = np.asarray(g, np.float32)
+        r = np.asarray(r)
+        assert np.isfinite(g).all()
+        scale = max(float(np.abs(r).max()), 1e-6)
+        assert float(np.abs(g - r).max()) / scale < 0.1
