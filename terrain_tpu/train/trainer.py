@@ -158,6 +158,20 @@ class TwoStageGAN:
         # the full z -> heightmap -> texture pipeline in ONE XLA program
         self._two_stage_det, self._two_stage_stoch = make_two_stage_sampler(
             self.nets["dcgan_gen"], self.nets["p2p_gen"])
+        if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
+            # sampler paths too: the serve warmup's power-of-2 bucket
+            # ladder (serve/server.py) and the gen/interp artifact modes
+            # then cold-start from the store instead of paying the relay
+            # compile per bucket (VERDICT r2 item 6: "flagship step and
+            # serve buckets"); max_entries bounds the store growth
+            from terrain_tpu.utils.aot import AotLazy
+
+            base = f"sample_{self.in_shp}"
+            for name in ("_z_det", "_z_stoch", "_g_det", "_g_stoch",
+                         "_two_stage_det", "_two_stage_stoch"):
+                setattr(self, name, AotLazy(getattr(self, name),
+                                            f"{base}{name}", aot_dir,
+                                            max_entries=8))
 
     # ------------------------------------------------------------- artifacts
     @property

@@ -161,13 +161,21 @@ class AotLazy:
 
     Calls with a different arg structure/shape than the AOT'd one fall back
     to the wrapped jitted function, so odd-shaped stragglers still work.
+
+    max_entries > 1 persists one executable per distinct arg-shape key (the
+    fingerprint already encodes shapes, so entries never collide) — the
+    serving path warms up a power-of-2 bucket ladder (serve/server.py
+    warmup) and wants each bucket to cold-start from the store; the train
+    step keeps the default 1 (its shapes are fixed per run).
     """
 
-    def __init__(self, jitted_fn, tag, cache_dir, verbose=False):
+    def __init__(self, jitted_fn, tag, cache_dir, verbose=False,
+                 max_entries=1):
         self._jitted = jitted_fn
         self._tag = tag
         self._dir = cache_dir
         self._verbose = verbose
+        self._max = max_entries
         self._compiled = {}  # shapes-key -> loaded executable
 
     @staticmethod
@@ -181,8 +189,8 @@ class AotLazy:
         key = self._shapes_key(args)
         fn = self._compiled.get(key)
         if fn is None:
-            if self._compiled:
-                # a second shape: don't multiply AOT entries, just jit
+            if len(self._compiled) >= self._max:
+                # over the entry budget: don't multiply AOT entries, just jit
                 return self._jitted(*args)
             try:
                 fn = aot_compile(self._jitted, args, self._tag, self._dir,

@@ -81,3 +81,32 @@ def test_trainer_aot_cache_steps(tmp_path, monkeypatch):
     entries = [p for p in os.listdir(d) if p.endswith(".aotx")]
     assert len(entries) == 1 and entries[0].startswith("both_16_")\
         and "_train" in entries[0]
+
+
+def test_aot_lazy_multi_entries(tmp_path):
+    """max_entries > 1 persists one executable per shape (the serve bucket
+    ladder), then falls back to jit past the budget."""
+    d = str(tmp_path / "aot")
+    lazy = AotLazy(jax.jit(lambda x: x + 1), "inc", d, max_entries=2)
+    np.testing.assert_allclose(np.asarray(lazy(jnp.zeros((1,)))), 1.0)
+    np.testing.assert_allclose(np.asarray(lazy(jnp.zeros((2,)))), 1.0)
+    np.testing.assert_allclose(np.asarray(lazy(jnp.zeros((4,)))), 1.0)
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
+
+
+def test_trainer_aot_samplers(tmp_path, monkeypatch):
+    """With TERRAIN_AOT set, the jitted samplers (serve/gen/interp paths)
+    are store-backed too, one entry per bucket shape."""
+    from tests.test_trainer import tiny_model
+
+    d = str(tmp_path / "aot")
+    monkeypatch.setenv("TERRAIN_AOT", d)
+    m = tiny_model()
+    assert isinstance(m._two_stage_det, AotLazy)
+    for n in (1, 2):
+        Z = m._sample_z(n)
+        a, b = m._two_stage_det(m.params["dcgan_gen"], m.states["dcgan_gen"],
+                                m.params["p2p_gen"], m.states["p2p_gen"], Z)
+        assert a.shape[0] == n and np.isfinite(np.asarray(a)).all()
+    two_stage = [p for p in os.listdir(d) if "_two_stage_det" in p]
+    assert len(two_stage) == 2
