@@ -16,6 +16,13 @@ if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"))
+# TERRAIN_PLATFORM=cpu forces the backend.  The JAX_PLATFORMS env var is
+# NOT enough here: this image's sitecustomize register() overrides
+# jax.config.jax_platforms to "axon,cpu" at interpreter start, so an
+# env-level "cpu" is silently ignored and the process hangs at first
+# dispatch whenever the TPU relay is down.
+if os.environ.get("TERRAIN_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TERRAIN_PLATFORM"])
 
 from terrain_tpu.experiments import EXPERIMENTS
 

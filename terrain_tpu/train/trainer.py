@@ -500,6 +500,9 @@ class TwoStageGAN:
         # artifact cadence: 1 = reference parity (dumps every epoch,
         # pix2pix.py:265-273); larger values thin the host-side PNG work
         art_every = int(os.environ.get("TERRAIN_ARTIFACT_EVERY", "1"))
+        # per-epoch preview downscale (scale^2 fewer fetched bytes over the
+        # ~2 MB/s relay); publication modes (gen/interp) stay full-res
+        art_scale = int(os.environ.get("TERRAIN_ARTIFACT_SCALE", "1"))
         try:
             for e in range(start_epoch, num_epochs):
                 t0 = time()
@@ -538,17 +541,18 @@ class TwoStageGAN:
                     continue
                 if self.train_mode in ("both", "p2p"):
                     self._plot_grid_epoch(it_val, os.path.join(out_dir, f"out_{e + 1}.png"),
-                                          batch_size)
+                                          batch_size, scale=art_scale)
                     self.generate_atob(it_train, 1, os.path.join(out_dir, "dump_train"),
                                        deterministic=False, batch_size=batch_size,
-                                       flush=False)
+                                       flush=False, preview_scale=art_scale)
                     self.generate_atob(it_val, 1, os.path.join(out_dir, "dump_valid"),
                                        deterministic=False, batch_size=batch_size,
-                                       flush=False)
+                                       flush=False, preview_scale=art_scale)
                 if self.train_mode in ("both", "dcgan"):
                     self.generate_gz(num_examples=20, batch_size=batch_size,
                                      out_dir=os.path.join(out_dir, "dump_a"),
-                                     deterministic=False, flush=False)
+                                     deterministic=False, flush=False,
+                                     preview_scale=art_scale)
                 if track_swd:
                     self._log_swd(it_val, out_dir, e + 1, batch_size)
                 if model_dir is not None and (e + 1) % save_every == 0:
@@ -628,10 +632,11 @@ class TwoStageGAN:
                 X, Y = next(itr)
                 yield jnp.asarray(X), jnp.asarray(Y)
 
-    def _plot_grid_epoch(self, itr, out_path, batch_size, N=4):
+    def _plot_grid_epoch(self, itr, out_path, batch_size, N=4, scale=1):
         """NxN grid of [A, G_p2p(A)] pairs (reference plot_grid usage,
         pix2pix.py:267): device work runs here, matplotlib rendering is
-        submitted to the async writer."""
+        submitted to the async writer.  scale > 1 fetches a box-averaged
+        preview (TERRAIN_ARTIFACT_SCALE)."""
         imgs = []
         n_batches = (N * N + batch_size - 1) // batch_size
         # every relay dispatch pays a round trip: use ALL images of each
@@ -639,8 +644,8 @@ class TwoStageGAN:
         for X, Y in self._batches_from(itr, batch_size, n_batches):
             bp = self._g_stoch(self.params["p2p_gen"], self.states["p2p_gen"],
                                X, self._next_rng())
-            a8 = np.asarray(to_u8_device(X, self.is_a_grayscale))
-            b8 = np.asarray(to_u8_device(bp, self.is_b_grayscale))
+            a8 = np.asarray(to_u8_device(X, self.is_a_grayscale, scale))
+            b8 = np.asarray(to_u8_device(bp, self.is_b_grayscale, scale))
             if a8.shape[-1] == 1:
                 a8 = np.repeat(a8, 3, axis=-1)
             if b8.shape[-1] == 1:
@@ -785,17 +790,22 @@ class TwoStageGAN:
         return self._g_stoch(p, s, x, self._next_rng())
 
     def generate_atob(self, itr, num_batches, out_dir, dont_predict=False,
-                      deterministic=True, batch_size=4, flush=True):
+                      deterministic=True, batch_size=4, flush=True,
+                      preview_scale=1):
         """Dump full-res [A, predict(A)] pairs as <i>.a.png / <i>.b.png
-        (reference pix2pix.py:276-305)."""
+        (reference pix2pix.py:276-305).  preview_scale > 1 dumps
+        box-averaged previews (the per-epoch TERRAIN_ARTIFACT_SCALE
+        path); direct callers keep full resolution."""
         os.makedirs(out_dir, exist_ok=True)
         ctr = 0
         for X, Y in self._batches_from(itr, batch_size, num_batches):
             pred = Y if dont_predict else self._gen_fn(X, deterministic)
             # quantize on device: uint8 fetches are 4x smaller, and relay
             # fetch bandwidth dominates artifact epochs (docs/RESULTS_r2.md)
-            X = np.asarray(to_u8_device(X, self.is_a_grayscale))
-            pred = np.asarray(to_u8_device(pred, self.is_b_grayscale))
+            X = np.asarray(to_u8_device(X, self.is_a_grayscale,
+                                        preview_scale))
+            pred = np.asarray(to_u8_device(pred, self.is_b_grayscale,
+                                           preview_scale))
             for i in range(pred.shape[0]):
                 self._save_png_u8(os.path.join(out_dir, f"{ctr}.a.png"), X[i])
                 self._save_png_u8(os.path.join(out_dir, f"{ctr}.b.png"), pred[i])
@@ -804,8 +814,9 @@ class TwoStageGAN:
             self.flush_artifacts()
 
     def generate_gz(self, num_examples, batch_size, out_dir,
-                    deterministic=True, flush=True):
-        """Dump DCGAN samples G(z) as <i>.png (reference pix2pix.py:306-326)."""
+                    deterministic=True, flush=True, preview_scale=1):
+        """Dump DCGAN samples G(z) as <i>.png (reference pix2pix.py:306-326).
+        preview_scale > 1 dumps box-averaged previews (per-epoch path)."""
         os.makedirs(out_dir, exist_ok=True)
         z = _floatX(self.sampler(num_examples, self.latent_dim))
         ctr = 0
@@ -820,7 +831,8 @@ class TwoStageGAN:
         for b in range(n_chunks):
             zc = z[b * chunk:(b + 1) * chunk]
             out = np.asarray(to_u8_device(
-                self._z_fn(zc, deterministic), self.is_a_grayscale))
+                self._z_fn(zc, deterministic), self.is_a_grayscale,
+                preview_scale))
             for i in range(out.shape[0]):
                 if ctr >= num_examples:
                     break

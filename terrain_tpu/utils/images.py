@@ -46,17 +46,26 @@ def save_png(path, img01):
     iio.imwrite(path, arr)
 
 
-def to_u8_device(x, is_grayscale):
+def to_u8_device(x, is_grayscale, scale=1):
     """Quantize a float device image batch to uint8 ON DEVICE — the
     convert_to_rgb + save_png math fused in-graph, run BEFORE the host
     fetch.  On the axon relay runtime, image fetch bandwidth dominates
     artifact epochs; uint8 is 4x smaller than fp32 and grayscale stays
     1-channel (the host repeats to RGB at write time).  Bit-identical to
     convert_to_rgb -> save_png: color maps [-1,1] -> [0,1] via (x+1)/2
-    (= (x*127.5+127.5)/255), then floor(v*255 + 0.5) clipped to [0,255]."""
+    (= (x*127.5+127.5)/255), then floor(v*255 + 0.5) clipped to [0,255].
+
+    scale > 1 box-averages scale x scale blocks on device first (a
+    downscaled *preview*, scale^2 fewer fetched bytes — the per-epoch
+    artifact knob TERRAIN_ARTIFACT_SCALE, docs/ROADMAP.md item 2); no-op
+    unless both spatial dims divide by it."""
     import jax.numpy as jnp
 
     x = jnp.asarray(x, jnp.float32)
+    s = int(scale)
+    if s > 1 and x.ndim == 4 and x.shape[1] % s == 0 and x.shape[2] % s == 0:
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // s, s, w // s, s, c).mean(axis=(2, 4))
     if not is_grayscale:
         x = x * 0.5 + 0.5
     return jnp.clip(jnp.floor(x * 255.0 + 0.5), 0, 255).astype(jnp.uint8)

@@ -107,3 +107,47 @@ def test_to_u8_device_matches_host_pipeline(rng):
                    0, 255).astype(np.uint8)
     dev = np.asarray(to_u8_device(c, False))[0]
     assert (dev == host).all()
+
+
+def test_to_u8_device_preview_scale(rng):
+    """scale>1 box-averages s x s blocks before quantization (the
+    TERRAIN_ARTIFACT_SCALE per-epoch preview path); non-dividing shapes
+    and scale=1 are exact no-ops."""
+    from terrain_tpu.utils import to_u8_device
+
+    g = rng.rand(2, 8, 8, 1).astype(np.float32)
+    got = np.asarray(to_u8_device(g, True, scale=2))
+    want = g.reshape(2, 4, 2, 4, 2, 1).mean(axis=(2, 4))
+    want = np.clip(np.floor(want * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    assert got.shape == (2, 4, 4, 1)
+    np.testing.assert_array_equal(got, want)
+    # scale=1 and non-dividing scale keep the full-res exact path
+    np.testing.assert_array_equal(np.asarray(to_u8_device(g, True, scale=1)),
+                                  np.asarray(to_u8_device(g, True)))
+    assert np.asarray(to_u8_device(g, True, scale=3)).shape == (2, 8, 8, 1)
+
+
+def test_trainer_artifact_scale_env(tmp_path, monkeypatch):
+    """TERRAIN_ARTIFACT_SCALE=2 halves the per-epoch dump resolution but
+    leaves the direct (publication) generate_gz path full-res."""
+    import os
+    import sys
+    sys.path.insert(0, "tests")
+    from test_trainer import tiny_model
+    from terrain_tpu.data.synthetic import make_pairs
+    from terrain_tpu.data import DeviceDataset
+    import imageio.v3 as iio
+
+    monkeypatch.setenv("TERRAIN_ARTIFACT_SCALE", "2")
+    m = tiny_model()
+    x, y = make_pairs(8, 16, seed=0)
+    ds = DeviceDataset(x, y)
+    out = str(tmp_path / "out")
+    mdl = str(tmp_path / "models")
+    m.train(ds, ds, batch_size=4, num_epochs=1, out_dir=out, model_dir=mdl,
+            save_every=10, quick_run=True)
+    dump = os.path.join(out, "dump_a", "0.png")
+    assert iio.imread(dump).shape[:2] == (8, 8)  # 16px model, halved
+    # direct call (gen mode) stays full-res
+    m.generate_gz(1, 1, str(tmp_path / "gen"))
+    assert iio.imread(str(tmp_path / "gen" / "0.png")).shape[:2] == (16, 16)
