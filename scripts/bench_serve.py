@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8,
                     help="server bucket cap; fewer buckets = less warmup "
                          "compile time (matters at 512px on the relay)")
+    ap.add_argument("--enc", choices=("npy", "png"), default="npy",
+                    help="wire encoding: png trades ~25 ms/frame host CPU "
+                         "for ~7x fewer response bytes at 512px")
     args = ap.parse_args()
 
     srv = subprocess.Popen(
@@ -62,14 +65,15 @@ def main():
             with TerrainClient(port=args.port, timeout=600) as c:
                 for r in range(per_client):
                     t0 = time.perf_counter()
-                    c.generate(1, seed=ci * 10007 + r, texture=args.texture)
+                    c.generate(1, seed=ci * 10007 + r, texture=args.texture,
+                               enc=args.enc)
                     dt = time.perf_counter() - t0
                     with lock:
                         lat.append(dt)
 
         # measured section (server already warm from health + warmup)
         with TerrainClient(port=args.port, timeout=600) as c:
-            c.generate(1, seed=0, texture=args.texture)  # e2e warm check
+            c.generate(1, seed=0, texture=args.texture, enc=args.enc)  # e2e warm check
         t0 = time.perf_counter()
         threads = [threading.Thread(target=worker, args=(i,))
                    for i in range(args.clients)]
@@ -82,6 +86,7 @@ def main():
         n = len(lat)
         out = {
             "experiment": args.experiment,
+            "enc": args.enc,
             "clients": args.clients,
             "requests": n,
             "req_per_s": round(n / wall, 2),

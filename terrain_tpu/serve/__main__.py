@@ -9,12 +9,19 @@ serves it.  Options:
   --max-batch N   device batch ceiling / bucket cap (default 8)
   --wait-ms W     micro-batch coalescing window (default 2.0)
   --no-weights    serve the randomly initialized model (smoke/benchmark)
+  --png-level N   zlib effort for "enc": "png" responses (default 3)
 """
 
 import argparse
 import os
 
 import jax
+
+# TERRAIN_PLATFORM=cpu forces the backend (same contract as cli.py:24 —
+# sitecustomize pins jax_platforms at interpreter start, so the JAX_PLATFORMS
+# env var is silently ignored by the time this module runs)
+if os.environ.get("TERRAIN_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["TERRAIN_PLATFORM"])
 
 if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     jax.config.update(
@@ -34,6 +41,7 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--wait-ms", type=float, default=2.0)
     ap.add_argument("--no-weights", action="store_true")
+    ap.add_argument("--png-level", type=int, default=3)
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the full-bucket graphs before serving")
     args = ap.parse_args(argv)
@@ -52,7 +60,8 @@ def main(argv=None):
         print(f"loading weights: {path}")
         model.load_model(path)
     server = TerrainServer(model, args.host, args.port,
-                           max_batch=args.max_batch, wait_ms=args.wait_ms)
+                           max_batch=args.max_batch, wait_ms=args.wait_ms,
+                           png_level=args.png_level)
     if args.warmup:
         server.warmup(verbose=True)
     print(f"serving {args.experiment} on {server.host}:{server.port} "

@@ -8,7 +8,8 @@ import socket
 
 import numpy as np
 
-from terrain_tpu.serve.protocol import decode_array, encode_array, recv_msg, send_msg
+from terrain_tpu.serve.protocol import (
+    decode_payload, encode_array, recv_msg, send_msg)
 
 
 class TerrainClient:
@@ -36,27 +37,29 @@ class TerrainClient:
     def stats(self):
         return self.request({"op": "stats"})
 
-    def generate(self, n=1, *, seed=None, deterministic=True, texture=True):
+    def generate(self, n=1, *, seed=None, deterministic=True, texture=True,
+                 enc="npy"):
         """n terrain samples -> (heightmaps (n,H,W,1) in [0,1],
-        textures (n,H,W,3) in [-1,1] or None)."""
+        textures (n,H,W,3) in [-1,1] or None).  ``enc="png"`` transports
+        quantized PNGs (~7x fewer wire bytes at 512px, see protocol.py)."""
         hs, ts = [], []
         remaining, offset = n, 0
         while remaining > 0:
             k = min(remaining, self.max_batch)
             msg = {"op": "gz", "n": k, "deterministic": deterministic,
-                   "texture": texture}
+                   "texture": texture, "enc": enc}
             if seed is not None:
                 msg["seed"] = int(seed) + offset  # distinct z per chunk
             resp = self.request(msg)
-            hs.append(decode_array(resp["heightmap"]))
+            hs.append(decode_payload(resp["heightmap"]))
             if texture:
-                ts.append(decode_array(resp["texture"]))
+                ts.append(decode_payload(resp["texture"]))
             remaining -= k
             offset += 1
         h = np.concatenate(hs, axis=0)
         return h, (np.concatenate(ts, axis=0) if texture else None)
 
-    def texture_for(self, heightmap, *, deterministic=True):
+    def texture_for(self, heightmap, *, deterministic=True, enc="npy"):
         """heightmap (n,H,W,1) or (H,W,1) in [0,1] -> texture(s)."""
         x = np.asarray(heightmap, dtype=np.float32)
         squeeze = x.ndim == 3
@@ -68,18 +71,47 @@ class TerrainClient:
                 "op": "atob",
                 "heightmap": encode_array(x[i:i + self.max_batch]),
                 "deterministic": deterministic,
+                "enc": enc,
             })
-            outs.append(decode_array(resp["texture"]))
+            outs.append(decode_payload(resp["texture"]))
         out = np.concatenate(outs, axis=0)
         return out[0] if squeeze else out
 
-    def interpolate(self, *, seed=None, steps=25, deterministic=True):
+    def interpolate(self, *, seed=None, steps=25, deterministic=True,
+                    enc="npy"):
         """Two-stage frames along a z-lerp -> (heightmaps, textures)."""
-        msg = {"op": "interp", "steps": steps, "deterministic": deterministic}
+        msg = {"op": "interp", "steps": steps, "deterministic": deterministic,
+               "enc": enc}
         if seed is not None:
             msg["seed"] = int(seed)
         resp = self.request(msg)
-        return decode_array(resp["heightmap"]), decode_array(resp["texture"])
+        return decode_payload(resp["heightmap"]), decode_payload(resp["texture"])
+
+    def iter_interpolate(self, *, seed=None, steps=25, deterministic=True,
+                         enc="npy"):
+        """Streaming interpolation: yields (frame_start, heightmaps,
+        textures) per server bucket as frames are computed — constant
+        memory for long clips and time-to-first-frame of one bucket
+        instead of the whole clip.
+
+        Consume the generator fully (or close() the client) before issuing
+        another request on this connection: abandoning it mid-stream leaves
+        un-read chunks on the socket, which would desync later replies."""
+        msg = {"op": "interp", "steps": steps, "deterministic": deterministic,
+               "enc": enc, "stream": True}
+        if seed is not None:
+            msg["seed"] = int(seed)
+        send_msg(self.wfile, msg)
+        while True:
+            resp = recv_msg(self.rfile)
+            if resp is None:
+                raise ConnectionError("server closed mid-stream")
+            if not resp.get("ok"):
+                raise RuntimeError(resp.get("error", "unknown server error"))
+            yield (resp["frame_start"], decode_payload(resp["heightmap"]),
+                   decode_payload(resp["texture"]))
+            if resp.get("done"):
+                return
 
     def close(self):
         try:

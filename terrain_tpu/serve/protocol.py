@@ -3,7 +3,10 @@
 Newline-delimited JSON over a stream socket: one request object per line,
 one response object per line, in order.  Arrays travel as base64-encoded
 ``.npy`` payloads inside the JSON (self-describing dtype + shape, no
-pickle, language-agnostic).
+pickle, language-agnostic), or — when the request asks for
+``"enc": "png"`` — as per-frame base64 PNGs (16-bit grayscale for
+heightmaps, 8-bit RGB for textures), ~7x smaller on the wire for 512px
+samples at the cost of a documented quantization (see encode_array_png).
 
 The reference repo has no serving surface (SURVEY.md §2: sampling is
 offline CLI dumping, pix2pix.py:276-425); this service exposes the same
@@ -32,6 +35,68 @@ def decode_array(s):
     """base64 .npy string -> numpy array."""
     buf = io.BytesIO(base64.b64decode(s.encode("ascii")))
     return np.load(buf, allow_pickle=False)
+
+
+# --------------------------------------------------------------- png payloads
+#
+# PNG payloads quantize the float sampler outputs onto the integer ranges
+# clients render anyway (the reference's own published artifacts are PNGs,
+# README.md:48-61):
+#   heightmap, model range [0, 1]   -> u16 grayscale (max err 1/131070)
+#   texture,   model range [-1, 1]  -> u8 RGB        (max err 1/255)
+# Exact float transport stays available as the default .npy encoding.
+
+PNG_KINDS = ("heightmap", "texture")
+
+
+def encode_array_png(arr, kind, level=3):
+    """(n, H, W, C) float batch -> {"enc": "png", "kind": ..., "frames": [...]}.
+
+    One base64 PNG per batch row.  ``kind`` selects the quantization
+    contract above; ``level`` is the zlib effort (3 measured ~25 ms/frame
+    at 512px on this host vs marginal size gain at 6+).
+    """
+    import imageio.v3 as iio
+
+    if kind not in PNG_KINDS:
+        raise ValueError(f"kind must be one of {PNG_KINDS}, got {kind!r}")
+    a = np.asarray(arr, dtype=np.float32)
+    if a.ndim != 4:
+        raise ValueError(f"expected (n, H, W, C), got shape {a.shape}")
+    if kind == "heightmap":
+        q = np.rint(np.clip(a[..., 0], 0.0, 1.0) * 65535.0).astype(np.uint16)
+    else:
+        q = np.rint((np.clip(a, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
+    frames = []
+    for img in q:
+        data = iio.imwrite("<bytes>", img, extension=".png",
+                           plugin="pillow", compress_level=int(level))
+        frames.append(base64.b64encode(data).decode("ascii"))
+    return {"enc": "png", "kind": kind, "frames": frames}
+
+
+def decode_array_png(payload):
+    """Inverse of encode_array_png -> (n, H, W, C) float32 in model range."""
+    import imageio.v3 as iio
+
+    kind = payload["kind"]
+    if kind not in PNG_KINDS:
+        raise ValueError(f"bad png payload kind {kind!r}")
+    imgs = [iio.imread(base64.b64decode(f.encode("ascii")), extension=".png")
+            for f in payload["frames"]]
+    q = np.stack(imgs, axis=0)
+    if kind == "heightmap":
+        return (q.astype(np.float32) / 65535.0)[..., None]
+    return q.astype(np.float32) / 127.5 - 1.0
+
+
+def decode_payload(value):
+    """Decode either wire encoding: .npy string or png payload dict."""
+    if isinstance(value, str):
+        return decode_array(value)
+    if isinstance(value, dict) and value.get("enc") == "png":
+        return decode_array_png(value)
+    raise ValueError(f"unrecognized array payload: {type(value).__name__}")
 
 
 def send_msg(wfile, obj):

@@ -24,6 +24,15 @@ Ops (newline-delimited JSON, see protocol.py):
    "deterministic": true}                   -> two-stage frames along a
                                                z-lerp (pix2pix.py:374-425
                                                semantics, one request)
+
+Every sampling op accepts ``"enc": "npy" | "png"`` — png returns per-frame
+16-bit-gray / 8-bit-RGB PNGs (~7x smaller on the wire at 512px, documented
+quantization in protocol.py) instead of exact-float .npy payloads.
+``interp`` additionally accepts ``"stream": true`` to receive one response
+per device bucket as frames are computed ({"stream": true, "done": false,
+"frame_start": i, ...} chunks, final chunk "done": true) — bounds response
+lines to one bucket (a 256-step 512px clip in one line would exceed
+MAX_LINE) and cuts time-to-first-frame from the whole clip to one bucket.
 """
 
 import socketserver
@@ -32,7 +41,8 @@ import threading
 import numpy as np
 
 from terrain_tpu.serve.batcher import MicroBatcher, bucket_size
-from terrain_tpu.serve.protocol import decode_array, encode_array, recv_msg, send_msg
+from terrain_tpu.serve.protocol import (
+    decode_array, encode_array, encode_array_png, recv_msg, send_msg)
 
 
 class TerrainServer:
@@ -42,9 +52,10 @@ class TerrainServer:
     terrain_tpu.train.trainer.TwoStageGAN."""
 
     def __init__(self, model, host="127.0.0.1", port=0, *,
-                 max_batch=8, wait_ms=2.0):
+                 max_batch=8, wait_ms=2.0, png_level=3):
         self.model = model
         self.max_batch = int(max_batch)
+        self.png_level = int(png_level)
         self.batcher = MicroBatcher(
             self._run_batch, max_batch=max_batch, wait_ms=wait_ms)
         self._rng_lock = threading.Lock()
@@ -165,7 +176,15 @@ class TerrainServer:
         return payload
 
     # -------------------------------------------------------------- requests
-    def handle_request(self, msg):
+    def _encode(self, arr, kind, enc):
+        if enc == "png":
+            return encode_array_png(arr, kind, level=self.png_level)
+        return encode_array(arr)
+
+    def handle_request(self, msg, send_partial=None):
+        """Handle one request; ``send_partial``, when provided by the
+        transport, emits intermediate response objects for streaming ops
+        (the returned object is always the FINAL response)."""
         op = msg.get("op")
         if op == "health":
             return {"ok": True, "latent_dim": self.model.latent_dim,
@@ -174,6 +193,9 @@ class TerrainServer:
         if op == "stats":
             return {"ok": True, **self.batcher.snapshot()}
         deterministic = bool(msg.get("deterministic", True))
+        enc = msg.get("enc", "npy")
+        if enc not in ("npy", "png"):
+            raise ValueError(f'enc must be "npy" or "png", got {enc!r}')
         if op == "gz":
             n = int(msg.get("n", 1))
             if not 1 <= n <= self.max_batch:
@@ -182,9 +204,9 @@ class TerrainServer:
             Z = self._sample_z(n, msg.get("seed"))
             a, b = self.batcher.submit(
                 ("gz", deterministic), {"z": Z, "rows": n}, n).result()
-            out = {"ok": True, "heightmap": encode_array(a)}
+            out = {"ok": True, "heightmap": self._encode(a, "heightmap", enc)}
             if msg.get("texture", True):
-                out["texture"] = encode_array(b)
+                out["texture"] = self._encode(b, "texture", enc)
             return out
         if op == "atob":
             X = decode_array(msg["heightmap"]).astype(np.float32)
@@ -201,11 +223,12 @@ class TerrainServer:
                     f"n must be <= {self.max_batch} per request")
             b = self.batcher.submit(
                 ("atob", deterministic), {"x": X, "rows": n}, n).result()
-            return {"ok": True, "texture": encode_array(b)}
+            return {"ok": True, "texture": self._encode(b, "texture", enc)}
         if op == "interp":
             steps = int(msg.get("steps", 25))
             if not 2 <= steps <= 256:
                 raise ValueError("steps must be in [2, 256]")
+            stream = bool(msg.get("stream", False)) and send_partial is not None
             # z-lerp between two prior samples through the full two-stage
             # pipeline (reference generate_interpolation_clip semantics,
             # pix2pix.py:391-408), chunked into buckets server-side
@@ -218,11 +241,24 @@ class TerrainServer:
                 a, b = self.batcher.submit(
                     ("gz", deterministic),
                     {"z": chunk, "rows": len(chunk)}, len(chunk)).result()
-                outs_a.append(a)
-                outs_b.append(b)
-            return {"ok": True,
-                    "heightmap": encode_array(np.concatenate(outs_a)),
-                    "texture": encode_array(np.concatenate(outs_b))}
+                if stream:
+                    done = i + len(chunk) >= steps
+                    part = {"ok": True, "stream": True, "done": done,
+                            "frame_start": i, "frames": len(chunk),
+                            "heightmap": self._encode(a, "heightmap", enc),
+                            "texture": self._encode(b, "texture", enc)}
+                    if done:
+                        return part
+                    send_partial(part)
+                else:
+                    outs_a.append(a)
+                    outs_b.append(b)
+            return {
+                "ok": True,
+                "heightmap": self._encode(
+                    np.concatenate(outs_a), "heightmap", enc),
+                "texture": self._encode(
+                    np.concatenate(outs_b), "texture", enc)}
         raise ValueError(f"unknown op {op!r}")
 
     # -------------------------------------------------------------- transport
@@ -244,8 +280,12 @@ class TerrainServer:
                     if msg is None:
                         return
                     try:
-                        resp = server.handle_request(msg)
+                        resp = server.handle_request(
+                            msg,
+                            send_partial=lambda obj: send_msg(self.wfile, obj))
                     except Exception as e:  # noqa: BLE001 — per-request isolation
+                        # mid-stream failures land here too: the error object
+                        # becomes the stream's terminal message
                         resp = {"ok": False,
                                 "error": f"{type(e).__name__}: {e}"}
                     try:

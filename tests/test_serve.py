@@ -7,7 +7,9 @@ import numpy as np
 import pytest
 
 from terrain_tpu.serve import MicroBatcher, TerrainClient, TerrainServer, bucket_size
-from terrain_tpu.serve.protocol import decode_array, encode_array
+from terrain_tpu.serve.protocol import (
+    decode_array, decode_array_png, decode_payload, encode_array,
+    encode_array_png)
 
 
 def test_protocol_array_roundtrip():
@@ -17,6 +19,33 @@ def test_protocol_array_roundtrip():
         out = decode_array(encode_array(arr))
         assert out.dtype == arr.dtype and out.shape == arr.shape
         np.testing.assert_array_equal(out, arr)
+
+
+def test_protocol_png_roundtrip_quantization():
+    rng = np.random.RandomState(0)
+    h = rng.rand(3, 16, 16, 1).astype(np.float32)          # heightmap [0,1]
+    t = (rng.rand(2, 16, 16, 3) * 2 - 1).astype(np.float32)  # texture [-1,1]
+    ph = encode_array_png(h, "heightmap")
+    pt = encode_array_png(t, "texture")
+    assert ph["enc"] == "png" and len(ph["frames"]) == 3
+    hb = decode_array_png(ph)
+    tb = decode_array_png(pt)
+    assert hb.shape == h.shape and tb.shape == t.shape
+    assert hb.dtype == np.float32 and tb.dtype == np.float32
+    # documented quantization bounds: u16 for heightmaps, u8 for textures
+    assert np.abs(hb - h).max() <= 0.5 / 65535 + 1e-7
+    assert np.abs(tb - t).max() <= 0.5 / 127.5 + 1e-7
+    # out-of-range values clip rather than wrap
+    spike = np.array([[[[1.5]], [[-0.5]]]], np.float32).reshape(1, 2, 1, 1)
+    back = decode_array_png(encode_array_png(spike, "heightmap"))
+    assert back[0, 0, 0, 0] == 1.0 and back[0, 1, 0, 0] == 0.0
+    # decode_payload dispatches on the wire type
+    np.testing.assert_array_equal(decode_payload(encode_array(h)), h)
+    np.testing.assert_allclose(decode_payload(ph), hb)
+    with pytest.raises(ValueError, match="kind"):
+        encode_array_png(h, "nope")
+    with pytest.raises(ValueError, match="payload"):
+        decode_payload(123)
 
 
 def test_bucket_size():
@@ -174,6 +203,40 @@ def test_serve_interp_endpoints(server):
         assert stats["ok"] and stats["requests"] >= 1
 
 
+def test_serve_png_encoding_matches_npy(server):
+    with TerrainClient(port=server.port) as c:
+        h, t = c.generate(2, seed=21)                       # exact floats
+        hp, tp = c.generate(2, seed=21, enc="png")          # quantized PNGs
+        assert hp.shape == h.shape and tp.shape == t.shape
+        assert np.abs(hp - h).max() <= 0.5 / 65535 + 1e-7
+        assert np.abs(tp - t).max() <= 0.5 / 127.5 + 1e-7
+        # atob path honors enc too
+        x = np.random.RandomState(1).rand(1, IN_SHP, IN_SHP, 1).astype(np.float32)
+        ta = c.texture_for(x)
+        tb = c.texture_for(x, enc="png")
+        assert np.abs(tb - ta).max() <= 0.5 / 127.5 + 1e-7
+
+
+def test_serve_interp_streaming(server):
+    with TerrainClient(port=server.port) as c:
+        h, t = c.interpolate(seed=9, steps=6)
+        starts, hs, ts = [], [], []
+        for start, hc, tc in c.iter_interpolate(seed=9, steps=6):
+            starts.append(start)
+            hs.append(hc)
+            ts.append(tc)
+        # chunks tile the clip in order (max_batch=4 -> buckets of 4+2)
+        assert starts == [0, 4]
+        np.testing.assert_array_equal(np.concatenate(hs), h)
+        np.testing.assert_array_equal(np.concatenate(ts), t)
+        # the connection is reusable after a fully-consumed stream
+        assert c.health()["ok"]
+        # streaming composes with png encoding
+        hp = np.concatenate(
+            [hc for _, hc, _ in c.iter_interpolate(seed=9, steps=6, enc="png")])
+        assert np.abs(hp - h).max() <= 0.5 / 65535 + 1e-7
+
+
 def test_serve_error_paths(server):
     with TerrainClient(port=server.port) as c:
         with pytest.raises(RuntimeError, match="unknown op"):
@@ -183,6 +246,8 @@ def test_serve_error_paths(server):
         with pytest.raises(RuntimeError, match="heightmap must be"):
             c.request({"op": "atob",
                        "heightmap": encode_array(np.zeros((2, 4, 4, 1), np.float32))})
+        with pytest.raises(RuntimeError, match="enc must be"):
+            c.request({"op": "gz", "n": 1, "enc": "jpeg"})
         # server survives the errors
         h, _ = c.generate(1, seed=1, texture=False)
         assert h.shape == (1, IN_SHP, IN_SHP, 1)
