@@ -87,6 +87,29 @@ class TwoStageGAN:
         # None = reference behavior (single shared lr, pix2pix.py:124-127)
         self.lr_mults = dict(lr_mults or {})
 
+        # every constructor input that shapes the traced graphs without
+        # changing arg shapes (loss scalars, activation names, factory
+        # choice...) — AOT store tags embed this so two model configs never
+        # share a serialized executable (utils/aot.py keying contract)
+        import hashlib as _hashlib
+        import json as _json
+        _cfg = dict(
+            fns=[getattr(f, "__qualname__", str(f)) for f in
+                 (gen_fn_dcgan, disc_fn_dcgan, gen_fn_p2p, disc_fn_p2p)],
+            params=[gen_params_dcgan, disc_params_dcgan,
+                    gen_params_p2p, disc_params_p2p],
+            in_shp=in_shp, latent_dim=latent_dim,
+            gray=[is_a_grayscale, is_b_grayscale], alpha=alpha, opt=opt,
+            opt_args=opt_args, train_mode=train_mode,
+            reconstruction=reconstruction, lsgan=lsgan,
+            sampler=getattr(sampler, "__qualname__", str(sampler)),
+            compute_dtype=str(compute_dtype), da=da,
+            lr_mults=sorted(self.lr_mults.items()),
+        )
+        self.config_digest = _hashlib.blake2b(
+            _json.dumps(_cfg, sort_keys=True, default=str).encode(),
+            digest_size=6).hexdigest()
+
         def _kw(d):
             d = dict(d or {})
             if compute_dtype is not None:
@@ -140,7 +163,7 @@ class TwoStageGAN:
         if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
             from terrain_tpu.utils.aot import AotLazy
 
-            base = f"{self.train_mode}_{self.in_shp}_host"
+            base = f"{self.train_mode}_{self.in_shp}_{self.config_digest}_host"
             self._train_step = AotLazy(self._train_step, f"{base}_train", aot_dir)
             self._eval_step = AotLazy(self._eval_step, f"{base}_eval", aot_dir)
         self._cache_steps = {}  # id(DeviceDataset) -> (train_step, eval_step)
@@ -166,7 +189,7 @@ class TwoStageGAN:
             # serve buckets"); max_entries bounds the store growth
             from terrain_tpu.utils.aot import AotLazy
 
-            base = f"sample_{self.in_shp}"
+            base = f"sample_{self.in_shp}_{self.config_digest}"
             for name in ("_z_det", "_z_stoch", "_g_det", "_g_stoch",
                          "_two_stage_det", "_two_stage_stoch"):
                 setattr(self, name, AotLazy(getattr(self, name),
@@ -278,7 +301,8 @@ class TwoStageGAN:
             if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
                 from terrain_tpu.utils.aot import AotLazy
 
-                base = f"{self.train_mode}_{self.in_shp}_{ds.digest}"
+                base = (f"{self.train_mode}_{self.in_shp}_"
+                        f"{self.config_digest}_{ds.digest}")
                 tr = AotLazy(tr, f"{base}_train", aot_dir)
                 ev = AotLazy(ev, f"{base}_eval", aot_dir)
             entry = (ds, tr, ev)
@@ -310,7 +334,8 @@ class TwoStageGAN:
             if aot_dir and os.environ.get("TERRAIN_CHECK_NANS") != "2":
                 from terrain_tpu.utils.aot import AotLazy
 
-                base = f"{self.train_mode}_{self.in_shp}_{ds.digest}_scan{k}"
+                base = (f"{self.train_mode}_{self.in_shp}_"
+                        f"{self.config_digest}_{ds.digest}_scan{k}")
                 tr = AotLazy(tr, f"{base}_train", aot_dir)
                 ev = AotLazy(ev, f"{base}_eval", aot_dir)
             entry = (ds, tr, ev)

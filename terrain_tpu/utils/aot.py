@@ -56,15 +56,34 @@ def _source_digest():
     return h.hexdigest()
 
 
+# TERRAIN_* knobs that provably do NOT shape the traced program (paths,
+# host-side loop counts, run control).  Everything else that starts with
+# TERRAIN_ goes into the fingerprint: a forgotten knob then costs at most
+# a spurious recompile, never a silently-stale executable.  (TERRAIN_BS /
+# TERRAIN_SCAN shape the graph only through arg shapes, which the
+# fingerprint already covers.)
+_NON_PROGRAM_KNOBS = frozenset({
+    "TERRAIN_AOT", "TERRAIN_AOT_KEY", "TERRAIN_MODELS", "TERRAIN_DATA",
+    "TERRAIN_OUT", "TERRAIN_N", "TERRAIN_EPOCHS", "TERRAIN_SAVE_EVERY",
+    "TERRAIN_RESUME", "TERRAIN_QUICK", "TERRAIN_PROFILE", "TERRAIN_SWD",
+    "TERRAIN_PREFETCH", "TERRAIN_EVAL_STEPS", "TERRAIN_SYNTHETIC",
+    "TERRAIN_RASTER", "TERRAIN_EPOCH_CROPS", "TERRAIN_ARTIFACT_EVERY",
+    "TERRAIN_PLATFORM", "TERRAIN_BS", "TERRAIN_SCAN",
+})
+
+
 def _fingerprint(jitted_fn, example_args, example_kwargs):
     """Hash of everything the serialized executable is conditioned on.
 
     Default keying ("shapes"): toolchain (jax version, platform, device
-    kind/count) + the terrain_tpu source digest + the arg tree's
-    shapes/dtypes.  Closure-captured array constants (e.g. the
+    kind/count) + the terrain_tpu source digest + every graph-shaping
+    TERRAIN_* env knob (Pallas toggles, compute dtype, op variants — they
+    select different programs from identical source and shapes) + the arg
+    tree's shapes/dtypes.  Closure-captured array constants (e.g. the
     device-resident dataset) are NOT covered — callers embed a content
     digest in the `tag` (DeviceDataset.digest); scalar config reaching the
-    program through closures must likewise be in the tag.
+    program through closures must likewise be in the tag (the trainer
+    embeds its config_digest).
 
     TERRAIN_AOT_KEY=jaxpr restores the exhaustive program-text key: it
     covers everything but costs a full trace at every load (minutes for
@@ -75,6 +94,9 @@ def _fingerprint(jitted_fn, example_args, example_kwargs):
         f"v{_FORMAT_VERSION}", jax.__version__, dev.platform,
         getattr(dev, "device_kind", "?"), str(jax.device_count()),
     ]
+    parts += sorted(
+        f"{k}={v}" for k, v in os.environ.items()
+        if k.startswith("TERRAIN_") and k not in _NON_PROGRAM_KNOBS)
     if os.environ.get("TERRAIN_AOT_KEY", "shapes") == "jaxpr":
         tr = jax.make_jaxpr(
             lambda *a, **k: jitted_fn(*a, **k))(*example_args,

@@ -51,6 +51,36 @@ def test_aot_shapes_key_contract(tmp_path):
     assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
 
 
+def test_aot_fingerprint_covers_graph_knobs(tmp_path, monkeypatch):
+    """Graph-shaping TERRAIN_* knobs select different programs from the
+    same source and shapes (e.g. the Pallas toggles during an A/B) — the
+    fingerprint must separate them, or a store populated under one knob
+    silently serves a stale executable under another."""
+    d = str(tmp_path / "aot")
+    a = (jnp.arange(4.0),)
+    f = jax.jit(lambda x: x * 2)
+    aot_compile(f, a, "fn", d)
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "dense")  # graph knob -> new entry
+    aot_compile(f, a, "fn", d)
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
+    monkeypatch.setenv("TERRAIN_EPOCHS", "999")  # host-side knob -> reused
+    aot_compile(f, a, "fn", d)
+    assert len([p for p in os.listdir(d) if p.endswith(".aotx")]) == 2
+
+
+def test_trainer_config_digest_separates_configs():
+    """Closure scalars (alpha, lsgan, ...) reach the step graph without
+    changing arg shapes; the trainer's config_digest (embedded in every AOT
+    tag) must differ when they do."""
+    from tests.test_trainer import tiny_model
+
+    m1 = tiny_model()
+    m2 = tiny_model()
+    assert m1.config_digest == m2.config_digest
+    m3 = tiny_model(alpha=1)
+    assert m3.config_digest != m1.config_digest
+
+
 def test_aot_lazy_shape_fallback(tmp_path):
     d = str(tmp_path / "aot")
     lazy = AotLazy(jax.jit(lambda x: x + 1), "inc", d)
