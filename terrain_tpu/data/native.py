@@ -15,17 +15,42 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_DIR, "libterrain_io.so"))
+_ABI = 2  # bump when extern "C" surface changes (terrain_io.cpp)
 _lib = None
 
 
-def build(quiet=True):
+def build(quiet=True, force=False):
     """Compile the shared library in-tree; returns True on success."""
     try:
-        subprocess.run(["make", "-C", os.path.abspath(_DIR)],
-                       check=True, capture_output=quiet)
+        cmd = ["make", "-C", os.path.abspath(_DIR)]
+        if force:
+            cmd.insert(1, "-B")
+        subprocess.run(cmd, check=True, capture_output=quiet)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
+
+
+def _bind(path):
+    lib = ctypes.CDLL(path)
+    lib.terrain_io_abi_version.restype = ctypes.c_int
+    if lib.terrain_io_abi_version() != _ABI:
+        return None
+    lib.crop_batch_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.normalize_u8_f32.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int]
+    lib.zero_fraction.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int]
+    lib.encode_png.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+    lib.encode_png.restype = ctypes.c_int64
+    return lib
 
 
 def _load():
@@ -34,23 +59,27 @@ def _load():
         return _lib
     if not os.path.exists(_LIB_PATH):
         build()
+    lib = None
     if os.path.exists(_LIB_PATH):
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.crop_batch_u8.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_int]
-        lib.normalize_u8_f32.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
-            ctypes.c_int]
-        lib.zero_fraction.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-            ctypes.c_int]
-        lib.terrain_io_abi_version.restype = ctypes.c_int
-        assert lib.terrain_io_abi_version() == 1
-        _lib = lib
-    else:
-        _lib = False
+        try:
+            lib = _bind(_LIB_PATH)
+        except OSError:
+            lib = None
+        if lib is None and build(force=True):
+            # Stale binary from an older ABI: `g++ -o` truncates in place
+            # (same inode), and the loader caches by (dev, inode) — load
+            # the rebuilt library through a fresh temp copy instead.
+            import shutil
+            import tempfile
+            tmp = tempfile.NamedTemporaryFile(
+                suffix=".so", delete=False)
+            tmp.close()
+            shutil.copy2(_LIB_PATH, tmp.name)
+            try:
+                lib = _bind(tmp.name)
+            except OSError:
+                lib = None
+    _lib = lib if lib is not None else False
     return _lib
 
 
@@ -109,6 +138,46 @@ def zero_fraction(crops):
     else:
         out[...] = (crops.reshape(n, -1) == 0).mean(axis=1)
     return out
+
+
+def encode_png(img, level=3):
+    """Encode one image as PNG bytes (native zlib+Paeth; imageio fallback).
+
+    img: (H, W, 1|3) or (H, W) — uint8 (8-bit gray/RGB) or uint16 (16-bit
+    gray/RGB, the serve heightmap wire format).  The Python PNG encoders
+    cost ~25 ms per 512px frame on this single host core (serve/protocol.py,
+    artifact dumps); the native path is zlib-bound (~3-6 ms at level 3).
+    """
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[-1] not in (1, 3):
+        raise ValueError(f"expected (H, W, 1|3), got shape {arr.shape}")
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError(f"expected uint8 or uint16, got {arr.dtype}")
+    level = int(level)
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be in [0, 9], got {level}")
+    h, w, c = arr.shape
+    lib = _load()
+    if lib:
+        arr = np.ascontiguousarray(arr)
+        raw = h * (1 + w * c * (depth // 8))
+        cap = raw + raw // 8 + 4096  # > zlib worst case + chunk framing
+        out = np.empty((cap,), np.uint8)
+        n = lib.encode_png(arr.ctypes.data, h, w, c, depth, level,
+                           out.ctypes.data, cap)
+        if n > 0:
+            return out[:n].tobytes()
+    import imageio.v3 as iio
+
+    return iio.imwrite("<bytes>", np.squeeze(arr, -1) if c == 1 else arr,
+                       extension=".png", plugin="pillow",
+                       compress_level=level)
 
 
 if __name__ == "__main__":

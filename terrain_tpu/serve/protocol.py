@@ -54,9 +54,11 @@ def encode_array_png(arr, kind, level=3):
 
     One base64 PNG per batch row.  ``kind`` selects the quantization
     contract above; ``level`` is the zlib effort (3 measured ~25 ms/frame
-    at 512px on this host vs marginal size gain at 6+).
+    at 512px on this host vs marginal size gain at 6+).  Encoding goes
+    through the native C++ encoder (data/native.py encode_png, ~2x faster
+    per frame on this single-core host) with a Pillow fallback.
     """
-    import imageio.v3 as iio
+    from terrain_tpu.data.native import encode_png
 
     if kind not in PNG_KINDS:
         raise ValueError(f"kind must be one of {PNG_KINDS}, got {kind!r}")
@@ -67,11 +69,8 @@ def encode_array_png(arr, kind, level=3):
         q = np.rint(np.clip(a[..., 0], 0.0, 1.0) * 65535.0).astype(np.uint16)
     else:
         q = np.rint((np.clip(a, -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
-    frames = []
-    for img in q:
-        data = iio.imwrite("<bytes>", img, extension=".png",
-                           plugin="pillow", compress_level=int(level))
-        frames.append(base64.b64encode(data).decode("ascii"))
+    frames = [base64.b64encode(encode_png(img, level=int(level)))
+              .decode("ascii") for img in q]
     return {"enc": "png", "kind": kind, "frames": frames}
 
 

@@ -39,11 +39,17 @@ def compose_imgs(a, b, is_a_grayscale=True, is_b_grayscale=False):
 
 
 def save_png(path, img01):
-    """Save a float [0,1] (H, W, 3) image as PNG."""
-    import imageio.v3 as iio
+    """Save a float [0,1] (H, W, 3) image as PNG.
+
+    Goes through the native C++ encoder (data/native.py encode_png) —
+    the Python encoders cost ~25 ms per 512px frame on this single-core
+    host and artifact epochs write dozens of frames.
+    """
+    from terrain_tpu.data.native import encode_png
 
     arr = np.clip(np.asarray(img01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    iio.imwrite(path, arr)
+    with open(path, "wb") as f:
+        f.write(encode_png(arr))
 
 
 def to_u8_device(x, is_grayscale, scale=1):
@@ -72,13 +78,15 @@ def to_u8_device(x, is_grayscale, scale=1):
 
 
 def save_png_u8(path, img_u8):
-    """Save a uint8 (H, W, 1|3) image (from `to_u8_device`) as PNG."""
-    import imageio.v3 as iio
+    """Save a uint8 (H, W, 1|3) image (from `to_u8_device`) as PNG.
 
-    arr = np.asarray(img_u8)
-    if arr.shape[-1] == 1:
-        arr = np.repeat(arr, 3, axis=-1)
-    iio.imwrite(path, arr)
+    1-channel input is written as grayscale PNG directly (viewers render
+    it identically to the repeated-RGB form and it is 3x fewer bytes to
+    filter/deflate on this single-core host)."""
+    from terrain_tpu.data.native import encode_png
+
+    with open(path, "wb") as f:
+        f.write(encode_png(np.asarray(img_u8)))
 
 
 def plot_grid(out_filename, itr, out_fn, is_a_grayscale, is_b_grayscale, N=4):

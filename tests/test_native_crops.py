@@ -37,6 +37,43 @@ def test_native_zero_fraction(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.parametrize("shape,dtype", [
+    ((64, 48, 1), np.uint8),     # 8-bit grayscale (artifact dumps)
+    ((33, 57, 3), np.uint8),     # 8-bit RGB (texture dumps; odd dims)
+    ((40, 40, 1), np.uint16),    # 16-bit grayscale (serve heightmap wire)
+])
+def test_encode_png_roundtrip(rng, shape, dtype):
+    import imageio.v3 as iio
+
+    hi = np.iinfo(dtype).max + 1
+    img = rng.randint(0, hi, size=shape).astype(dtype)
+    data = native.encode_png(img, level=3)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    back = iio.imread(data, extension=".png")
+    want = img[:, :, 0] if shape[-1] == 1 else img
+    assert back.dtype == dtype
+    np.testing.assert_array_equal(back, want)
+
+
+def test_encode_png_2d_and_level_sizes(rng):
+    import imageio.v3 as iio
+
+    img = (rng.rand(32, 32) * 255).astype(np.uint8)  # smooth-ish field
+    d0 = native.encode_png(img, level=0)
+    d9 = native.encode_png(img, level=9)
+    assert len(d9) <= len(d0)
+    np.testing.assert_array_equal(iio.imread(d9, extension=".png"), img)
+
+
+def test_encode_png_rejects_bad_args(rng):
+    with pytest.raises(ValueError):
+        native.encode_png(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        native.encode_png(np.zeros((4, 4, 1), np.float32))
+    with pytest.raises(ValueError):
+        native.encode_png(np.zeros((4, 4, 1), np.uint8), level=10)
+
+
 def test_raster_iterator_applies_ocean_filter(rng):
     # left half ocean (zeros); crops must all come from the right half
     hm = np.zeros((600, 600), np.uint8)
