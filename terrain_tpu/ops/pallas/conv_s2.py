@@ -35,6 +35,7 @@ ever names it).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -80,8 +81,16 @@ def _fwd_kernel(ps_hbm, w_ref, b_ref, out_ref, scratch, sem, *,
         out_ref[0, y] = row.astype(out_ref.dtype)
 
 
-def _dw_kernel(ps_hbm, g_ref, out_ref, scratch, sem, *, TH, cin, Wout, F,
-               rows_out):
+def _dw_kernel(ps_hbm, g_ref, *rest, TH, cin, Wout, F, rows_out, slope=None):
+    if slope is None:
+        out_ref, scratch, sem = rest
+        y_ref = None
+    else:
+        # fused leaky backward: g arrives RAW, select applied here against
+        # the saved fused output y (see conv_stem._dw_kernel) — and when
+        # the layer input is data (U-Net enc conv1) this kernel is the
+        # select's ONLY consumer, so the standalone pass disappears fully
+        y_ref, out_ref, scratch, sem = rest
     n = pl.program_id(0)
     hb = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -96,6 +105,8 @@ def _dw_kernel(ps_hbm, g_ref, out_ref, scratch, sem, *, TH, cin, Wout, F,
     gsum = jnp.zeros((1, F), jnp.float32)
     for y in range(TH):
         g = g_ref[0, y].astype(jnp.float32)  # (Wout, F)
+        if y_ref is not None:
+            g = jnp.where(y_ref[0, y] >= 0, g, slope * g)
         part = part + jax.lax.dot_general(
             _patches(scratch, y, cin, Wout), g,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -186,22 +197,25 @@ def _rows_out(cin):
     return ((need + 7) // 8) * 8
 
 
-def _conv_s2_dw_pallas(x, g, f, interpret=False):
+def _conv_s2_dw_pallas(x, g, f, interpret=False, y=None, slope=None):
     n, h, wdt, cin = x.shape
     hout, wout = h // 2, wdt // 2
     TH = _pick_th(hout)
     ps = _planes(x, wout)
     rows = _rows_out(cin)
     kern = functools.partial(_dw_kernel, TH=TH, cin=cin, Wout=wout, F=f,
-                             rows_out=rows)
+                             rows_out=rows, slope=slope)
+    g_spec = pl.BlockSpec((1, TH, wout, f), lambda nn, hh: (nn, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), g_spec]
+    args = [ps, g]
+    if slope is not None:
+        in_specs.append(g_spec)  # y: saved fused output, same blocking as g
+        args.append(y)
     out = pl.pallas_call(
         kern,
         grid=(n, hout // TH),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TH, wout, f), lambda nn, hh: (nn, hh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((rows, f), lambda nn, hh: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
@@ -210,7 +224,7 @@ def _conv_s2_dw_pallas(x, g, f, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(ps, g)
+    )(*args)
     dw = out[:K * K * cin].reshape(K, K, cin, f)
     return dw, out[K * K * cin]
 
@@ -247,7 +261,20 @@ def _conv_s2_fwd(x, w, b, slope):
 def _conv_s2_bwd(slope, res, g):
     if slope is not None:
         x, w, y = res
-        g = jnp.where(y >= 0, g, slope * g)  # leaky backward
+        if os.environ.get("TERRAIN_ACT_BWD", "0") == "1":
+            # fused leaky backward (opt-in pending the on-chip A/B): the
+            # dW kernel takes raw g + y; the dX-side select has a single
+            # consumer and fuses into the XLA transpose conv (or is DCE'd
+            # with it when the layer input is data).
+            f = w.shape[-1]
+            dw, db = _conv_s2_dw_pallas(x, g, f, interpret=_INTERPRET,
+                                        y=y, slope=slope)
+            gx = jnp.where(y >= 0, g, slope * g)
+            _, vjp_x = jax.vjp(
+                lambda xx: _xla_conv(xx, w, jnp.zeros_like(db)), x)
+            (dx,) = vjp_x(gx.astype(x.dtype))
+            return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(x.dtype)
+        g = jnp.where(y >= 0, g, slope * g)  # leaky backward, XLA-side
     else:
         x, w = res
     f = w.shape[-1]

@@ -28,6 +28,7 @@ kernel.  Both fall back to XLA off-TPU / off-regime.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +97,16 @@ def _fwd_kernel(xs_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F,
         out_ref[0, y] = row.astype(out_ref.dtype)
 
 
-def _dw_kernel(xs_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
+def _dw_kernel(xs_hbm, g_ref, *rest, TH, W, Wp, F, slope=None):
+    if slope is None:
+        out_ref, scratch, sem = rest
+        y_ref = None
+    else:
+        # fused leaky backward: g arrives RAW and the activation select
+        # runs here against the saved fused output y — the XLA-side
+        # select was a standalone HBM round trip (a compare_select
+        # fusion that cannot fuse into this custom call)
+        y_ref, out_ref, scratch, sem = rest
     n = pl.program_id(0)
     hb = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -112,6 +122,8 @@ def _dw_kernel(xs_hbm, g_ref, out_ref, scratch, sem, *, TH, W, Wp, F):
     # over the W pixels (K = 512 fills the MXU depth)
     for y in range(TH):
         g = g_ref[0, y].astype(jnp.float32)  # (W, F)
+        if y_ref is not None:
+            g = jnp.where(y_ref[0, y] >= 0, g, slope * g)
         part = part + jax.lax.dot_general(
             _row_patches(scratch, y, W), g,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -243,24 +255,28 @@ def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False, slope=None):
     )(xs, wm, bm)
 
 
-def _conv_stem_dw_pallas(x, g, f, interpret=False):
+def _conv_stem_dw_pallas(x, g, f, interpret=False, y=None, slope=None):
     n, h, wdt, _ = x.shape
     # tighter band than fwd: the (1, TH, W, F) grad block + K input planes
     # overflow VMEM at TH=32 (measured on-chip: "exceeded vmem" at alloc)
     TH = min(_pick_th(h, x.dtype), 16)
     Wp = _w_pad(wdt)
     xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
-    kern = functools.partial(_dw_kernel, TH=TH, W=wdt, Wp=Wp, F=f)
+    kern = functools.partial(_dw_kernel, TH=TH, W=wdt, Wp=Wp, F=f,
+                             slope=slope)
+    g_spec = pl.BlockSpec((1, TH, wdt, f), lambda nn, hh: (nn, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY), g_spec]
+    args = [xs, g]
+    if slope is not None:
+        in_specs.append(g_spec)  # y: saved fused output, same blocking as g
+        args.append(y)
     # output rows padded 25 -> 32 for sublane alignment; row 25 carries the
     # fused bias grad (see _dw_kernel); sliced by caller
     out = pl.pallas_call(
         kern,
         grid=(n, h // TH),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TH, wdt, f), lambda nn, hh: (nn, hh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((32, f), lambda nn, hh: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((32, f), jnp.float32),
@@ -269,7 +285,7 @@ def _conv_stem_dw_pallas(x, g, f, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xs, g)
+    )(*args)
     return out[:K * K].reshape(K, K, 1, f), out[K * K]
 
 
@@ -336,12 +352,25 @@ def _conv_stem_fwd(x, w, b, slope):
 
 
 def _conv_stem_bwd(slope, res, g):
-    if slope is not None:
-        x, w, y = res
-        g = jnp.where(y >= 0, g, slope * g)  # leaky backward
-    else:
+    f = res[1].shape[-1]
+    if slope is None:
         x, w = res
-    f = w.shape[-1]
+        dw, db = _conv_stem_dw_pallas(x, g, f, interpret=_INTERPRET)
+        dx = _conv_stem_dx_pallas(g, w, x.dtype, interpret=_INTERPRET)
+        return dx, dw.astype(w.dtype), db
+    x, w, y = res
+    if os.environ.get("TERRAIN_ACT_BWD", "0") == "1":
+        # fused leaky backward (opt-in pending the on-chip A/B, round-3
+        # lesson): the dW kernel consumes RAW g plus the saved output y
+        # and applies the select in VMEM; the dX-side select then has a
+        # single consumer and fuses into the pad+transpose, so the
+        # standalone (N,H,W,F) compare_select HBM round trip disappears.
+        dw, db = _conv_stem_dw_pallas(x, g, f, interpret=_INTERPRET,
+                                      y=y, slope=slope)
+        gx = jnp.where(y >= 0, g, slope * g)
+        dx = _conv_stem_dx_pallas(gx, w, x.dtype, interpret=_INTERPRET)
+        return dx, dw.astype(w.dtype), db
+    g = jnp.where(y >= 0, g, slope * g)  # leaky backward, XLA-side
     dw, db = _conv_stem_dw_pallas(x, g, f, interpret=_INTERPRET)
     dx = _conv_stem_dx_pallas(g, w, x.dtype, interpret=_INTERPRET)
     return dx, dw.astype(w.dtype), db

@@ -226,6 +226,28 @@ def test_conv_stem_fused_leaky_matches_unfused(rng, monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_conv_stem_fused_bwd_select_matches(rng, monkeypatch):
+    """TERRAIN_ACT_BWD=1 (select fused into the dW kernel) == the default
+    XLA-side leaky backward, all grads."""
+    monkeypatch.setattr(cs, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(1, 64, 128, 1).astype(np.float32))
+    w = jnp.asarray(rng.randn(5, 5, 1, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(1, 64, 128, 8).astype(np.float32))
+
+    def grads(*a):
+        return jax.grad(lambda *q: jnp.sum(cs.conv_stem(*q, 0.2) * cot),
+                        argnums=(0, 1, 2))(*a)
+
+    monkeypatch.delenv("TERRAIN_ACT_BWD", raising=False)
+    g_ref = grads(x, w, b)
+    monkeypatch.setenv("TERRAIN_ACT_BWD", "1")
+    g_fused = grads(x, w, b)
+    for p, q in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-5, atol=1e-5)
+
+
 # ----------------------------------------- small-cin 3x3 s2 conv (conv_s2)
 
 from terrain_tpu.ops.pallas import conv_s2 as c2
@@ -297,6 +319,28 @@ def test_conv_s2_fused_leaky_matches_unfused(rng, monkeypatch):
     for p, q in zip(g_f, g_u):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_conv_s2_fused_bwd_select_matches(rng, monkeypatch):
+    """TERRAIN_ACT_BWD=1 (select fused into conv_s2's dW kernel) == the
+    default XLA-side leaky backward, all grads."""
+    monkeypatch.setattr(c2, "_INTERPRET", True)
+    x = jnp.asarray(rng.randn(1, 32, 32, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+
+    def grads(*a):
+        return jax.grad(lambda *q: jnp.sum(c2.conv_s2(*q, 0.01) * cot),
+                        argnums=(0, 1, 2))(*a)
+
+    monkeypatch.delenv("TERRAIN_ACT_BWD", raising=False)
+    g_ref = grads(x, w, b)
+    monkeypatch.setenv("TERRAIN_ACT_BWD", "1")
+    g_fused = grads(x, w, b)
+    for p, q in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_conv_s2_regime_guard():
