@@ -53,9 +53,17 @@ class TerrainServer:
 
     def __init__(self, model, host="127.0.0.1", port=0, *,
                  max_batch=8, wait_ms=2.0, png_level=3):
+        import os
+
         self.model = model
         self.max_batch = int(max_batch)
         self.png_level = int(png_level)
+        # png responses fetch DEVICE-quantized u16/u8 (2-4x fewer bytes over
+        # the relay's ~2 MB/s device->host fetch path, the measured latency
+        # bound at 512px — RESULTS_r3 §3b); TERRAIN_SERVE_QFETCH=0 restores
+        # the f32 fetch + host quantization
+        self.qfetch = os.environ.get("TERRAIN_SERVE_QFETCH", "1") != "0"
+        self._q_handles = None
         self.batcher = MicroBatcher(
             self._run_batch, max_batch=max_batch, wait_ms=wait_ms)
         self._rng_lock = threading.Lock()
@@ -104,6 +112,9 @@ class TerrainServer:
                 print(f"warmup: compiling gz/atob bucket={b} ...", flush=True)
             self._two_stage(z, True)
             self._atob(x, True)
+            if self.qfetch:  # the png path's device-quantized programs
+                self._two_stage(z, True, wire="q")
+                self._atob(x, True, wire="q")
             if b >= self.max_batch:
                 break
             b = min(b * 2, self.max_batch)
@@ -134,42 +145,80 @@ class TerrainServer:
         pad = np.repeat(arr[:1], bucket - n, axis=0)  # repeat row 0: same
         return np.concatenate([arr, pad], axis=0)     # shapes, valid values
 
-    def _two_stage(self, Z, deterministic):
+    def _quantized(self):
+        """Lazily-built jitted sampler wrappers that quantize ON DEVICE
+        (u16 heightmap / u8 texture, the exact encode_array_png contract)
+        so the host fetches 2-4x fewer bytes.  jit-of-jit inlines the
+        sampler, so each is still ONE device dispatch + ONE program."""
+        if self._q_handles is None:
+            import jax
+            import jax.numpy as jnp
+
+            m = self.model
+
+            def q16(a):
+                return jnp.rint(jnp.clip(a[..., 0], 0.0, 1.0) * 65535.0) \
+                    .astype(jnp.uint16)
+
+            def q8(b):
+                return jnp.rint((jnp.clip(b, -1.0, 1.0) + 1.0) * 127.5) \
+                    .astype(jnp.uint8)
+
+            self._q_handles = {
+                "ts_det": jax.jit(
+                    lambda *a: (lambda ab: (q16(ab[0]), q8(ab[1])))(
+                        m._two_stage_det(*a))),
+                "ts_stoch": jax.jit(
+                    lambda *a: (lambda ab: (q16(ab[0]), q8(ab[1])))(
+                        m._two_stage_stoch(*a))),
+                "g_det": jax.jit(lambda *a: q8(m._g_det(*a))),
+                "g_stoch": jax.jit(lambda *a: q8(m._g_stoch(*a))),
+            }
+        return self._q_handles
+
+    def _two_stage(self, Z, deterministic, wire="f32"):
         m = self.model
         p, s = m.params, m.states
         args = (p["dcgan_gen"], s["dcgan_gen"], p["p2p_gen"], s["p2p_gen"], Z)
+        q = self._quantized() if wire == "q" else None
         with self._dispatch_lock:
             if deterministic:
-                a, b = m._two_stage_det(*args)
+                fn = q["ts_det"] if q else m._two_stage_det
+                a, b = fn(*args)
             else:
-                a, b = m._two_stage_stoch(*args, self._next_rng())
+                fn = q["ts_stoch"] if q else m._two_stage_stoch
+                a, b = fn(*args, self._next_rng())
             return np.asarray(a), np.asarray(b)
 
-    def _atob(self, X, deterministic):
+    def _atob(self, X, deterministic, wire="f32"):
         m = self.model
         p, s = m.params["p2p_gen"], m.states["p2p_gen"]
+        q = self._quantized() if wire == "q" else None
         with self._dispatch_lock:
             if deterministic:
-                b = m._g_det(p, s, X)
+                fn = q["g_det"] if q else m._g_det
+                b = fn(p, s, X)
             else:
-                b = m._g_stoch(p, s, X, self._next_rng())
+                fn = q["g_stoch"] if q else m._g_stoch
+                b = fn(p, s, X, self._next_rng())
             return np.asarray(b)
 
     def _run_batch(self, op, requests):
         """Executor for the MicroBatcher: one padded device dispatch for a
         coalesced batch, then split results back per request."""
-        kind, deterministic = op
+        kind, deterministic, wire = op
         rows = [r["rows"] for r in requests]
         total = sum(rows)
         bucket = bucket_size(total, self.max_batch)
         if kind == "gz":
             batch = np.concatenate([r["z"] for r in requests], axis=0)
-            a, b = self._two_stage(self._pad(batch, bucket), deterministic)
+            a, b = self._two_stage(self._pad(batch, bucket), deterministic,
+                                   wire)
             payload = list(zip(np.split(a[:total], np.cumsum(rows)[:-1]),
                                np.split(b[:total], np.cumsum(rows)[:-1])))
         elif kind == "atob":
             batch = np.concatenate([r["x"] for r in requests], axis=0)
-            b = self._atob(self._pad(batch, bucket), deterministic)
+            b = self._atob(self._pad(batch, bucket), deterministic, wire)
             payload = np.split(b[:total], np.cumsum(rows)[:-1])
         else:
             raise ValueError(f"unknown batch op {kind!r}")
@@ -196,6 +245,10 @@ class TerrainServer:
         enc = msg.get("enc", "npy")
         if enc not in ("npy", "png"):
             raise ValueError(f'enc must be "npy" or "png", got {enc!r}')
+        # png responses ride the device-quantized fetch; wire is part of
+        # the batch key so exact-npy and quantized requests never coalesce
+        # into one dispatch
+        wire = "q" if (enc == "png" and self.qfetch) else "f32"
         if op == "gz":
             n = int(msg.get("n", 1))
             if not 1 <= n <= self.max_batch:
@@ -203,7 +256,7 @@ class TerrainServer:
                     f"n must be in [1, {self.max_batch}] per request")
             Z = self._sample_z(n, msg.get("seed"))
             a, b = self.batcher.submit(
-                ("gz", deterministic), {"z": Z, "rows": n}, n).result()
+                ("gz", deterministic, wire), {"z": Z, "rows": n}, n).result()
             out = {"ok": True, "heightmap": self._encode(a, "heightmap", enc)}
             if msg.get("texture", True):
                 out["texture"] = self._encode(b, "texture", enc)
@@ -222,7 +275,7 @@ class TerrainServer:
                 raise ValueError(
                     f"n must be <= {self.max_batch} per request")
             b = self.batcher.submit(
-                ("atob", deterministic), {"x": X, "rows": n}, n).result()
+                ("atob", deterministic, wire), {"x": X, "rows": n}, n).result()
             return {"ok": True, "texture": self._encode(b, "texture", enc)}
         if op == "interp":
             steps = int(msg.get("steps", 25))
@@ -239,7 +292,7 @@ class TerrainServer:
             for i in range(0, steps, self.max_batch):
                 chunk = zs[i:i + self.max_batch]
                 a, b = self.batcher.submit(
-                    ("gz", deterministic),
+                    ("gz", deterministic, wire),
                     {"z": chunk, "rows": len(chunk)}, len(chunk)).result()
                 if stream:
                     done = i + len(chunk) >= steps

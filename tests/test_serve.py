@@ -217,6 +217,21 @@ def test_serve_png_encoding_matches_npy(server):
         assert np.abs(tb - ta).max() <= 0.5 / 127.5 + 1e-7
 
 
+def test_serve_qfetch_matches_host_quantization(server):
+    """Device-side quantized fetch (the png default) == host-side
+    quantization of the exact-float fetch, bit-for-bit after decode."""
+    assert server.qfetch  # default on
+    with TerrainClient(port=server.port) as c:
+        h_dev, t_dev = c.generate(2, seed=33, enc="png")
+        server.qfetch = False
+        try:
+            h_host, t_host = c.generate(2, seed=33, enc="png")
+        finally:
+            server.qfetch = True
+    np.testing.assert_array_equal(h_dev, h_host)
+    np.testing.assert_array_equal(t_dev, t_host)
+
+
 def test_serve_interp_streaming(server):
     with TerrainClient(port=server.port) as c:
         h, t = c.interpolate(seed=9, steps=6)
