@@ -1,0 +1,143 @@
+#!/bin/bash
+# Round-3 chain O: consolidated re-run of the arms lost to the host
+# re-provision (chains K tail/L/M/N + F never landed results — /tmp and
+# .jax_cache were wiped, models/ and data/ with them).
+#
+# Phase A — kernel A/Bs (VERDICT item 3):
+#   compile checks first (round-2 lesson: interpret mode does not model
+#   Mosaic), then in-context 20-step fenced A/Bs of TERRAIN_PALLAS_CONVS2,
+#   TERRAIN_PALLAS_THIN, TERRAIN_ACT_BWD and the all-on combo against a
+#   fresh baseline on this host.
+# Phase B — earth256 real-data two-phase workflow (VERDICT items 2+5):
+#   rebuild data/earth256.h5 from the bundled NASA rasters, train
+#   earth256_stable 600 epochs, then earth256_finetunep2p 600 epochs +
+#   interp clip + gen sheet.
+# Phase C — AOT cold-start A/B on a genuinely cold host, bs=16 knee probe,
+#   final-config device trace, and a bench.py pass to warm .jax_cache for
+#   the driver's end-of-round bench.
+set -u
+cd /root/repo
+LOG=/tmp/chipo
+QL="$LOG/queue.log"
+mkdir -p "$LOG" data
+
+probe() {
+  until timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
+    echo "probe: relay down $(date)" >> "$QL"
+    sleep 180
+  done
+  echo "probe: relay live $(date)" >> "$QL"
+}
+
+run() {
+  local log="$1" to="$2"; shift 2
+  for attempt in 1 2; do
+    probe
+    timeout "$to" "$@" > "$log" 2>&1 && return 0
+    echo "arm failed (attempt $attempt, $(date)): $*" >> "$QL"
+    sleep 60
+  done
+  return 1
+}
+
+tagit() {  # tagit <log> <tag>
+  tail -1 "$1" | grep '^{' | sed "s/^{/{\"tag\": \"$2\", /" \
+    >> "$LOG/attr_results.jsonl" || true
+}
+
+echo "=== chain O starting $(date) ===" >> "$QL"
+export TERRAIN_DTYPE=bf16
+
+# ---- Phase A: kernel A/Bs ----
+run "$LOG/base.log" 3000 python scripts/attr_bench.py full
+tagit "$LOG/base.log" r3o_base
+
+if run "$LOG/convs2_check.log" 2400 python scripts/chip_check_convs2.py; then
+  echo "=== convs2 compile check OK $(date) ===" >> "$QL"
+  TERRAIN_PALLAS_CONVS2=1 run "$LOG/convs2_on.log" 3000 \
+    python scripts/attr_bench.py full
+  tagit "$LOG/convs2_on.log" convs2_on
+else
+  echo "=== convs2 compile check FAILED $(date) ===" >> "$QL"
+fi
+
+if run "$LOG/convthin_check.log" 2400 python scripts/chip_check_convthin.py; then
+  echo "=== conv_thin compile check OK $(date) ===" >> "$QL"
+  TERRAIN_PALLAS_THIN=1 run "$LOG/thin_on.log" 3000 \
+    python scripts/attr_bench.py full
+  tagit "$LOG/thin_on.log" thin_on
+else
+  echo "=== conv_thin compile check FAILED $(date) ===" >> "$QL"
+fi
+
+if run "$LOG/actbwd_check.log" 2400 python scripts/chip_check_actbwd.py; then
+  echo "=== actbwd compile check OK $(date) ===" >> "$QL"
+  TERRAIN_ACT_BWD=1 run "$LOG/actbwd_on.log" 3000 \
+    python scripts/attr_bench.py full
+  tagit "$LOG/actbwd_on.log" actbwd_on
+else
+  echo "=== actbwd compile check FAILED $(date) ===" >> "$QL"
+fi
+
+TERRAIN_PALLAS_CONVS2=1 TERRAIN_PALLAS_THIN=1 TERRAIN_ACT_BWD=1 \
+  run "$LOG/all_on.log" 3000 python scripts/attr_bench.py full
+tagit "$LOG/all_on.log" all_on
+echo "=== Phase A done $(date) ===" >> "$QL"
+
+# ---- Phase B: earth256 two-phase workflow ----
+if [ ! -f data/earth256.h5 ]; then
+  run "$LOG/build_ds.log" 1800 python tools/build_dataset.py \
+    --heightmap /root/reference/md/earth_heightmap.png \
+    --texture /root/reference/md/earth_texture.jpg \
+    --out data/earth256.h5 --crop 256 --stride 16
+fi
+export TERRAIN_SCAN=15 TERRAIN_SWD=1 TERRAIN_SAVE_EVERY=50 TERRAIN_RESUME=auto
+run "$LOG/e256_train.log" 5400 python -m terrain_tpu earth256_stable train
+echo "=== earth256_stable train done $(date) ===" >> "$QL"
+run "$LOG/e256ft_train.log" 5400 python -m terrain_tpu earth256_finetunep2p train
+echo "=== finetune train done $(date) ===" >> "$QL"
+unset TERRAIN_SCAN TERRAIN_SWD TERRAIN_SAVE_EVERY TERRAIN_RESUME
+run "$LOG/e256ft_interp.log" 3600 python -m terrain_tpu earth256_finetunep2p interp
+run "$LOG/e256ft_gen.log" 2400 python -m terrain_tpu earth256_finetunep2p gen
+echo "=== Phase B done $(date) ===" >> "$QL"
+
+# ---- Phase C: AOT cold-start, bs16, final trace, bench warm ----
+run "$LOG/aot_populate.log" 2400 python scripts/aot_coldstart.py \
+  --aot /tmp/aoto/store --xla-cache /tmp/aoto/empty1
+run "$LOG/aot_warm.log" 1800 python scripts/aot_coldstart.py \
+  --aot /tmp/aoto/store --xla-cache /tmp/aoto/empty2
+echo "=== AOT arms done $(date) ===" >> "$QL"
+
+BENCH_BS=16 BENCH_BEST_BS=0 BENCH_SCAN=0 run "$LOG/bench_bs16.json" 1800 \
+  python bench.py
+
+rm -rf /tmp/terrain_trace_o
+probe
+TERRAIN_PROFILE=/tmp/terrain_trace_o timeout 2400 \
+  python scripts/attr_bench.py profile > "$LOG/profile.log" 2>&1
+tagit "$LOG/profile.log" profile_o
+
+run "$LOG/bench_final.json" 2400 python bench.py
+echo "=== Phase C done $(date) ===" >> "$QL"
+
+# ---- Phase D: 512px serve wire-encoding A/B (lost chain M) ----
+# Expectation to verify, not assume: the local closed-loop harness pays
+# PNG's ~25-50 ms/frame single-core encode cost without enjoying the 7x
+# byte savings (loopback is fast; the relay-fetch device->host bound is
+# upstream of encoding) — record both sides honestly.  The qfetch arm
+# moves the quantization on-device so the fetch itself is 4x smaller.
+export TERRAIN_AOT=/tmp/aoto/serve_store
+for enc in npy png; do
+  run "$LOG/serve512_$enc.log" 3600 python scripts/bench_serve.py \
+    --experiment test1_nobn_bilin_both_stable --clients 4 --requests 40 \
+    --max-batch 4 --enc "$enc"
+  tail -1 "$LOG/serve512_$enc.log" | grep '^{' | \
+    sed "s/^{/{\"tag\": \"serve512_$enc\", /" >> "$LOG/attr_results.jsonl" || true
+done
+TERRAIN_SERVE_QFETCH=1 run "$LOG/serve512_png_qfetch.log" 3600 \
+  python scripts/bench_serve.py \
+  --experiment test1_nobn_bilin_both_stable --clients 4 --requests 40 \
+  --max-batch 4 --enc png
+tail -1 "$LOG/serve512_png_qfetch.log" | grep '^{' | \
+  sed 's/^{/{"tag": "serve512_png_qfetch", /' >> "$LOG/attr_results.jsonl" || true
+echo "=== chain O done $(date) ===" >> "$QL"
