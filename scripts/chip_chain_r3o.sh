@@ -134,10 +134,11 @@ for enc in npy png; do
   tail -1 "$LOG/serve512_$enc.log" | grep '^{' | \
     sed "s/^{/{\"tag\": \"serve512_$enc\", /" >> "$LOG/attr_results.jsonl" || true
 done
-TERRAIN_SERVE_QFETCH=1 run "$LOG/serve512_png_qfetch.log" 3600 \
+# qfetch defaults ON; this arm ablates it (f32 fetch + host quantize)
+TERRAIN_SERVE_QFETCH=0 run "$LOG/serve512_png_noqfetch.log" 3600 \
   python scripts/bench_serve.py \
   --experiment test1_nobn_bilin_both_stable --clients 4 --requests 40 \
   --max-batch 4 --enc png
-tail -1 "$LOG/serve512_png_qfetch.log" | grep '^{' | \
-  sed 's/^{/{"tag": "serve512_png_qfetch", /' >> "$LOG/attr_results.jsonl" || true
+tail -1 "$LOG/serve512_png_noqfetch.log" | grep '^{' | \
+  sed 's/^{/{"tag": "serve512_png_noqfetch", /' >> "$LOG/attr_results.jsonl" || true
 echo "=== chain O done $(date) ===" >> "$QL"
