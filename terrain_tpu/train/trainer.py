@@ -620,6 +620,12 @@ class TwoStageGAN:
             z = _floatX(self.sampler(real_a.shape[0], self.latent_dim))
             fake_a = self._z_fn(z, deterministic=True)
             out.update(swd_pyramid(real_a, fake_a, seed=0, n_levels=levels))
+            if os.environ.get("TERRAIN_TERRAIN_METRICS", "1") != "0":
+                # terrain-domain realism (hypsometric + slope W1) for the
+                # heightmap stage; one extra jitted dispatch per epoch
+                from terrain_tpu.eval import terrain_stats
+
+                out.update(terrain_stats(real_a, fake_a, seed=0))
         if self.train_mode in ("both", "p2p"):
             fake_b = self._gen_fn(real_a, deterministic=True)
             out.update({f"p2p_{k}": v for k, v in

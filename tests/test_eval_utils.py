@@ -27,6 +27,37 @@ def test_swd_discriminates_noise_from_structure():
     assert d_noise > d_similar > 0
 
 
+def test_terrain_stats_zero_for_identical_sets():
+    from terrain_tpu.eval import terrain_stats
+
+    x, _ = make_pairs(8, 32, seed=0)
+    a = x.astype(np.float32) / 255.0
+    out = terrain_stats(a, a, n_sample=4096)
+    assert out["elev_w1"] < 1e-6 and out["slope_w1"] < 1e-6
+
+
+def test_terrain_stats_detect_elevation_shift_and_roughness():
+    """elev_w1 must see a pure elevation offset that slope_w1 ignores
+    (constant shifts leave gradients bit-identical); slope_w1 must
+    dominate for high-frequency roughening that barely moves the
+    elevation CDF — the failure mode elevation statistics cannot see."""
+    from terrain_tpu.eval import terrain_stats
+
+    x, _ = make_pairs(8, 64, seed=0)
+    real = x.astype(np.float32) / 255.0
+
+    shifted = real + 0.2
+    out = terrain_stats(real, shifted, n_sample=8192)
+    assert abs(out["elev_w1"] - 0.2) < 0.02
+    assert out["slope_w1"] < 1e-6  # gradients unchanged by a constant shift
+
+    rough = real + np.random.RandomState(0).randn(
+        *real.shape).astype(np.float32) * 0.05
+    out = terrain_stats(real, rough, n_sample=8192)
+    assert out["slope_w1"] > 3 * out["elev_w1"]
+    assert out["slope_w1"] > 0.01
+
+
 def test_convert_to_rgb_ranges():
     gray = np.random.RandomState(0).rand(8, 8, 1).astype(np.float32)
     rgb = convert_to_rgb(gray, is_grayscale=True)

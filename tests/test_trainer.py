@@ -262,6 +262,8 @@ def test_swd_tracking_hook(tmp_path, monkeypatch):
     assert header[0] == "epoch" and "swd_level0" in header
     assert "swd_mean" in header and "p2p_swd_mean" in header
     assert "p2p_swd_level0" in header
+    # terrain-domain realism metrics ride the same hook (heightmap stage)
+    assert "elev_w1" in header and "slope_w1" in header
     assert lines[1].split(",")[0] == "1"
     assert all(np.isfinite(float(v)) for v in lines[1].split(",")[1:])
 
