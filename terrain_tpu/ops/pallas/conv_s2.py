@@ -106,7 +106,9 @@ def _dw_kernel(ps_hbm, g_ref, *rest, TH, cin, Wout, F, rows_out, slope=None):
     for y in range(TH):
         g = g_ref[0, y].astype(jnp.float32)  # (Wout, F)
         if y_ref is not None:
-            g = jnp.where(y_ref[0, y] >= 0, g, slope * g)
+            # compare in f32: Mosaic rejects arith.cmpf on packed bf16
+            # vectors ("Target does not support this comparison", v5e)
+            g = jnp.where(y_ref[0, y].astype(jnp.float32) >= 0, g, slope * g)
         part = part + jax.lax.dot_general(
             _patches(scratch, y, cin, Wout), g,
             dimension_numbers=(((1,), (0,)), ((), ())),

@@ -123,7 +123,9 @@ def _dw_kernel(xs_hbm, g_ref, *rest, TH, W, Wp, F, slope=None):
     for y in range(TH):
         g = g_ref[0, y].astype(jnp.float32)  # (W, F)
         if y_ref is not None:
-            g = jnp.where(y_ref[0, y] >= 0, g, slope * g)
+            # compare in f32: Mosaic rejects arith.cmpf on packed bf16
+            # vectors ("Target does not support this comparison", v5e)
+            g = jnp.where(y_ref[0, y].astype(jnp.float32) >= 0, g, slope * g)
         part = part + jax.lax.dot_general(
             _row_patches(scratch, y, W), g,
             dimension_numbers=(((1,), (0,)), ((), ())),
