@@ -39,13 +39,26 @@ run() {
 
 export TERRAIN_DTYPE=bf16
 
+tagit() {
+  tail -1 "$1" | grep '^{' | sed "s/^{/{\"tag\": \"$2\", /" \
+    >> "$LOG/attr_results.jsonl" || true
+}
+
 if run "$LOG/actbwd_check2.log" 2400 python scripts/chip_check_actbwd.py; then
   echo "=== chain O2: actbwd compile check OK $(date) ===" >> "$QL"
   TERRAIN_ACT_BWD=1 run "$LOG/actbwd_on.log" 3000 \
     python scripts/attr_bench.py full
-  tail -1 "$LOG/actbwd_on.log" | grep '^{' | \
-    sed 's/^{/{"tag": "actbwd_on", /' >> "$LOG/attr_results.jsonl" || true
+  tagit "$LOG/actbwd_on.log" actbwd_on
 else
   echo "=== chain O2: actbwd compile check FAILED $(date) ===" >> "$QL"
 fi
+
+# fill in the A/B matrix: convs2+thin without actbwd (all_on at 64.6 ms
+# lost to thin_on's 63.4 — isolate whether ACT_BWD or the s2+thin
+# interaction costs the ~1 ms), plus a base replicate for the noise floor
+TERRAIN_PALLAS_CONVS2=1 TERRAIN_PALLAS_THIN=1 run "$LOG/s2thin_on.log" 3000 \
+  python scripts/attr_bench.py full
+tagit "$LOG/s2thin_on.log" s2thin_on
+run "$LOG/base2.log" 3000 python scripts/attr_bench.py full
+tagit "$LOG/base2.log" r3o_base2
 echo "=== chain O2 done $(date) ===" >> "$QL"
