@@ -39,12 +39,13 @@ def _try_pallas_stem(x, w, b, stride, padding, cd, slope=None):
 def _try_pallas_s2(x, w, b, stride, padding, cd, slope=None):
     """Auto-dispatch the small-cin 3x3 s2 first-layer convs (U-Net encoder
     conv1, PatchGAN conv1 — 15-30x off their bandwidth bounds in XLA per
-    the round-3 trace) to the Pallas plane-stack kernel.  Opt-IN via
-    TERRAIN_PALLAS_CONVS2=1 until the on-chip A/B settles a default
-    (round-3 lesson: no dense rewrite ships without an in-context chip
-    measurement); TERRAIN_PALLAS_CONV=0 still masters all conv kernels."""
+    the round-3 trace) to the Pallas plane-stack kernel.  Default-ON since
+    the chain-O in-context chip A/B (64.5 vs 65.7 ms/step base, bs=4
+    512px flagship — docs/RESULTS_r3.md); TERRAIN_PALLAS_CONVS2=0 opts
+    out of this kernel alone, TERRAIN_PALLAS_CONV=0 of all conv-path
+    Pallas kernels."""
     master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
-    if os.environ.get("TERRAIN_PALLAS_CONVS2", "0") != "1" or master == "0":
+    if os.environ.get("TERRAIN_PALLAS_CONVS2", master) == "0" or master == "0":
         return None
     from terrain_tpu.ops.pallas import conv_s2 as _c2
 
@@ -58,11 +59,13 @@ def _try_pallas_thin(x, w, b, stride, padding, cd):
     """Auto-dispatch thin-cout 3x3 s1 convs (the phase-decomposed DCGAN
     generator output stage — 4 live output channels on the 128-lane MXU,
     15-30x off its bandwidth bound per the round-3 trace roofline) to the
-    transposed-layout Pallas kernel.  Opt-IN via TERRAIN_PALLAS_THIN=1
-    until the on-chip in-context A/B settles a default (round-3 lesson);
-    TERRAIN_PALLAS_CONV=0 still masters all conv kernels."""
+    transposed-layout Pallas kernel.  Default-ON since the chain-O
+    in-context chip A/B (63.4 vs 65.7 ms/step base — the best single-knob
+    win in the matrix; docs/RESULTS_r3.md); TERRAIN_PALLAS_THIN=0 opts
+    out of this kernel alone, TERRAIN_PALLAS_CONV=0 of all conv-path
+    Pallas kernels."""
     master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
-    if os.environ.get("TERRAIN_PALLAS_THIN", "0") != "1" or master == "0":
+    if os.environ.get("TERRAIN_PALLAS_THIN", master) == "0" or master == "0":
         return None
     from terrain_tpu.ops.pallas import conv_thin as _ct
 

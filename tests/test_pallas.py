@@ -366,10 +366,10 @@ def test_conv_s2_regime_guard():
 
 
 def test_conv_s2_dispatch_flag(rng, monkeypatch):
-    """TERRAIN_PALLAS_CONVS2 is opt-in: conv2d must NOT route to the
-    kernel by default, and must route when set (checked via interpret
-    on a fake-TPU regime decision is impossible on CPU, so assert the
-    default-off path just matches XLA)."""
+    """TERRAIN_PALLAS_CONVS2 defaults ON since the chain-O chip A/B; on
+    CPU the backend guard routes to XLA regardless of the flag, so assert
+    the flagged path matches XLA (real-Mosaic numerics are covered by the
+    committed chip compile checks, docs/artifacts_r3/attr)."""
     from terrain_tpu.ops.conv import conv2d
 
     x = jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32))
@@ -449,9 +449,9 @@ def test_conv_thin_regime_guard():
 
 
 def test_conv_thin_dispatch_flag(rng, monkeypatch):
-    """TERRAIN_PALLAS_THIN is opt-in: conv2d must NOT route to the kernel
-    by default; on CPU the regime guard routes to XLA either way, so the
-    flagged path must still match XLA."""
+    """TERRAIN_PALLAS_THIN defaults ON since the chain-O chip A/B; on CPU
+    the backend guard routes to XLA either way, so the flagged path must
+    still match XLA."""
     from terrain_tpu.ops.conv import conv2d
 
     x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
