@@ -39,13 +39,14 @@ def _try_pallas_stem(x, w, b, stride, padding, cd, slope=None):
 def _try_pallas_s2(x, w, b, stride, padding, cd, slope=None):
     """Auto-dispatch the small-cin 3x3 s2 first-layer convs (U-Net encoder
     conv1, PatchGAN conv1 — 15-30x off their bandwidth bounds in XLA per
-    the round-3 trace) to the Pallas plane-stack kernel.  Default-ON since
-    the chain-O in-context chip A/B (64.5 vs 65.7 ms/step base, bs=4
-    512px flagship — docs/RESULTS_r3.md); TERRAIN_PALLAS_CONVS2=0 opts
-    out of this kernel alone, TERRAIN_PALLAS_CONV=0 of all conv-path
-    Pallas kernels."""
+    the round-3 trace) to the Pallas plane-stack kernel.  Opt-IN: it wins
+    alone (64.5 vs 65.7 ms/step base, chain O) but LOSES in the shipped
+    default context — s2+thin measured 64.3 vs thin-only 63.4 (chain P),
+    so the default stays off while conv_thin ships on
+    (docs/RESULTS_r3.md, chain P matrix).  TERRAIN_PALLAS_CONV=0 still
+    masters all conv-path Pallas kernels."""
     master = os.environ.get("TERRAIN_PALLAS_CONV", "1")
-    if os.environ.get("TERRAIN_PALLAS_CONVS2", master) == "0" or master == "0":
+    if os.environ.get("TERRAIN_PALLAS_CONVS2", "0") != "1" or master == "0":
         return None
     from terrain_tpu.ops.pallas import conv_s2 as _c2
 

@@ -366,7 +366,8 @@ def test_conv_s2_regime_guard():
 
 
 def test_conv_s2_dispatch_flag(rng, monkeypatch):
-    """TERRAIN_PALLAS_CONVS2 defaults ON since the chain-O chip A/B; on
+    """TERRAIN_PALLAS_CONVS2 is opt-in (wins alone but loses in the
+    thin-on default context — chain P matrix, docs/RESULTS_r3.md); on
     CPU the backend guard routes to XLA regardless of the flag, so assert
     the flagged path matches XLA (real-Mosaic numerics are covered by the
     committed chip compile checks, docs/artifacts_r3/attr)."""
