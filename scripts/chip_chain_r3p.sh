@@ -56,7 +56,10 @@ TERRAIN_PALLAS_CONVS2=1 TERRAIN_PALLAS_THIN=1 run "$LOG/s2thin_on.log" 3000 \
 tagit "$LOG/s2thin_on.log" s2thin_on
 echo "=== arm s2thin_on done $(date) ===" >> "$QL"
 
-run "$LOG/base.log" 3000 python scripts/attr_bench.py full
+# Base = stem+decoder WITHOUT conv_thin: after the chain-P default flip
+# conv_thin is ON by default, so the base arm must opt out explicitly or a
+# re-provision re-run would append a mis-tagged row (ADVICE r3).
+TERRAIN_PALLAS_THIN=0 run "$LOG/base.log" 3000 python scripts/attr_bench.py full
 tagit "$LOG/base.log" r3p_base
 echo "=== arm r3p_base done $(date) ===" >> "$QL"
 

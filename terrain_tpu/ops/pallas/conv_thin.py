@@ -38,10 +38,12 @@ Backward:
   * db = sum(g) stays on XLA: the cotangent here is ~4 MB (vs the 268 MB
     stem case that forced db into the kernel).
 
-Everything falls back to XLA off-TPU / off-regime.  Gated off by default
-(TERRAIN_PALLAS_THIN=1 opts in) until the on-chip in-context A/B settles
-the default — the round-3 lesson (CLAUDE.md): no dense rewrite ships as a
-default without a chip A/B.
+Everything falls back to XLA off-TPU / off-regime.  Default-ON on TPU
+since the chain-O in-context chip A/B settled it (63.4 vs 65.7 ms/step
+base — the best single-knob win in the round-3 matrix; docs/RESULTS_r3.md
+chain P).  TERRAIN_PALLAS_THIN=0 opts out of this kernel alone,
+TERRAIN_PALLAS_CONV=0 of all conv-path Pallas kernels (dispatch:
+ops/conv.py _try_pallas_thin).
 """
 
 import functools

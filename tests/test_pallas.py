@@ -450,9 +450,8 @@ def test_conv_thin_regime_guard():
 
 
 def test_conv_thin_dispatch_flag(rng, monkeypatch):
-    """TERRAIN_PALLAS_THIN defaults ON since the chain-O chip A/B; on CPU
-    the backend guard routes to XLA either way, so the flagged path must
-    still match XLA."""
+    """TERRAIN_PALLAS_THIN=1 explicitly set; on CPU the backend guard
+    routes to XLA either way, so the flagged path must still match XLA."""
     from terrain_tpu.ops.conv import conv2d
 
     x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
@@ -462,6 +461,46 @@ def test_conv_thin_dispatch_flag(rng, monkeypatch):
     got = conv2d(x, w, b, stride=1, padding="same")  # CPU -> XLA fallback
     np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_thin(x, w) + b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv_thin_dispatch_default_and_optouts(rng, monkeypatch):
+    """The shipped default: with the env UNSET, ops/conv.py routes
+    in-regime thin convs to the Pallas kernel (default-ON since the
+    chain-O chip A/B), and each opt-out (TERRAIN_PALLAS_THIN=0,
+    TERRAIN_PALLAS_CONV=0) routes back to XLA.  The CPU backend guard is
+    stubbed out so the dispatch decision itself is what's under test."""
+    from terrain_tpu.ops import conv as conv_mod
+
+    calls = []
+    real_supported = ct.supported
+    monkeypatch.setattr(
+        ct, "supported",
+        lambda xs, ws, stride, padding, backend=None: real_supported(
+            xs, ws, stride, padding, backend="tpu"))
+    monkeypatch.setattr(
+        ct, "conv_thin",
+        lambda x, w: (calls.append("pallas"), _xla_thin(x, w))[1])
+    for var in ("TERRAIN_PALLAS_THIN", "TERRAIN_PALLAS_CONV"):
+        monkeypatch.delenv(var, raising=False)
+
+    x = jnp.asarray(rng.randn(1, 128, 128, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    got = conv_mod.conv2d(x, w, b, stride=1, padding="same")
+    assert calls == ["pallas"], "default (env unset) must dispatch Pallas"
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_xla_thin(x, w) + b),
+                               rtol=1e-5, atol=1e-5)
+
+    for var in ("TERRAIN_PALLAS_THIN", "TERRAIN_PALLAS_CONV"):
+        calls.clear()
+        monkeypatch.setenv(var, "0")
+        out = conv_mod.conv2d(x, w, b, stride=1, padding="same")
+        assert calls == [], "%s=0 must opt out to XLA" % var
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(_xla_thin(x, w) + b),
+                                   rtol=1e-5, atol=1e-5)
+        monkeypatch.delenv(var)
 
 
 def test_conv_thin_under_fused_output_stage(rng, monkeypatch):
