@@ -41,6 +41,13 @@ def main():
                     help="override the XLA compilation cache dir "
                          "(point at an empty dir to simulate a fresh machine)")
     ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--rows", type=int, default=240,
+                    help="dataset row count.  XLA cache keys (and the relay's "
+                         "server-side compile cache) include array shapes, so "
+                         "a row count no prior process used makes the program "
+                         "GENUINELY novel — the only way to measure a true "
+                         "cold compile on a relay whose cache we can't clear "
+                         "(round-3 caveat, docs/RESULTS_r3.md §3)")
     args = ap.parse_args()
     if args.xla_cache:
         os.makedirs(args.xla_cache, exist_ok=True)
@@ -54,7 +61,7 @@ def main():
 
     t0 = time.perf_counter()
     model = _build_test1(train_mode="both", p2p_bilinear=True, verbose=False)
-    x, y = make_pairs(240, 512, seed=0)
+    x, y = make_pairs(args.rows, 512, seed=0)
     ds = DeviceDataset(x, y)
     tr_step, _ = model._get_cache_steps(ds)
     t_build = time.perf_counter() - t0
@@ -70,6 +77,7 @@ def main():
 
     print(json.dumps({
         "aot": bool(args.aot),
+        "rows": args.rows,
         "build_s": round(t_build, 1),
         "first_step_s": round(t_first, 1),
         "total_s": round(time.perf_counter() - t_proc, 1),
