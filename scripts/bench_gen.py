@@ -46,6 +46,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, nargs="+", default=[8])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--enc", choices=("none", "png"), default="none",
+                    help="png adds a wire-ready arm: fetched u8 frames are "
+                         "encoded with the native PNG encoder (the serve "
+                         "wire format) and the byte ratio is reported — the "
+                         "fetch itself cannot shrink (device->host is raw "
+                         "u8; PNG compresses only the host->client leg)")
     args = ap.parse_args()
 
     from terrain_tpu.experiments import _build_test1
@@ -90,6 +96,25 @@ def main():
             np.asarray(qa), np.asarray(qb)  # full uint8 delivery
         dt = time.perf_counter() - t0
         out[f"delivered_imgs_per_sec_bs{bs}"] = round(bs * args.steps / dt, 2)
+
+        if args.enc == "png":
+            from terrain_tpu.data.native import encode_png
+
+            raw_bytes = png_bytes = 0
+            t0 = time.perf_counter()
+            for t in range(args.steps):
+                a, b = det(pg, sg, pu, su, zs[t % 4])
+                qa, qb = u8(a, b)
+                qa, qb = np.asarray(qa), np.asarray(qb)
+                for i in range(bs):
+                    pa = encode_png(qa[i])
+                    pb = encode_png(qb[i])
+                    raw_bytes += qa[i].nbytes + qb[i].nbytes
+                    png_bytes += len(pa) + len(pb)
+            dt = time.perf_counter() - t0
+            out[f"wire_png_imgs_per_sec_bs{bs}"] = round(
+                bs * args.steps / dt, 2)
+            out[f"png_byte_ratio_bs{bs}"] = round(raw_bytes / png_bytes, 2)
     print(json.dumps(out))
 
 

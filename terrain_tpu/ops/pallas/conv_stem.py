@@ -184,9 +184,12 @@ def _dx_kernel(gt_hbm, w_ref, out_ref, scratch, bstash, sem, *, TH, W, Wp, F):
 
 
 def _pick_th(h, dtype):
-    # VMEM budget: out block (TH, W, F) double-buffered + patch intermediates
+    # VMEM budget: out block (TH, W, F) double-buffered + patch intermediates.
+    # TERRAIN_STEM_TH caps the ladder for per-batch-size tile A/Bs (the
+    # 16-caps below still apply where measured; read per call — cheap).
+    cap = int(os.environ.get("TERRAIN_STEM_TH", "32"))
     for t in (32, 16, 8):
-        if h % t == 0:
+        if t <= cap and h % t == 0:
             return t
     return 0
 

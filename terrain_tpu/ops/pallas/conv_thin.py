@@ -47,6 +47,7 @@ ops/conv.py _try_pallas_thin).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 K = 3
-TH = 16  # band height: the embedded-in-step scoped-VMEM sweet spot (stem)
+# Band height: 16 is the embedded-in-step scoped-VMEM sweet spot measured
+# at bs=4 (stem's lesson).  TERRAIN_THIN_TH overrides it for per-batch-size
+# tile A/Bs (read once at import; every chip arm is its own process).
+TH = int(os.environ.get("TERRAIN_THIN_TH", "16"))
 
 
 def _w_pad(w):
