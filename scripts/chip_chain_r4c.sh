@@ -119,6 +119,10 @@ attr_arm bs8_thin_th32 8 TERRAIN_THIN_TH=32
 attr_arm bs8_stem_th16 8 TERRAIN_STEM_TH=16
 attr_arm bs4_thin_th8 4 TERRAIN_THIN_TH=8
 attr_arm bs4_thin_th32 4 TERRAIN_THIN_TH=32
+# the hole in the chain-P matrix: thin+actbwd WITHOUT s2 was never
+# measured (actbwd_on ran in stem context, all_on included s2) — if the
+# wins compose, this is 63.4 - 0.8 ~= 62.6 ms
+attr_arm bs4_thin_actbwd 4 TERRAIN_ACT_BWD=1
 
 # ---- Phase C: 512px serve wire-format A/B ----
 for enc in npy png; do
