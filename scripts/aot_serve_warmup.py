@@ -52,7 +52,11 @@ def main():
     t0 = time.perf_counter()
     server.warmup(verbose=True)
     t_warm = time.perf_counter() - t0
-    server.shutdown()
+    # NOT server.shutdown(): ThreadingTCPServer.shutdown() blocks until a
+    # running serve_forever() loop acknowledges it, and this script never
+    # starts one — close the socket and the batcher workers directly
+    server.tcp.server_close()
+    server.batcher.shutdown()
 
     print(json.dumps({
         "aot": bool(os.environ.get("TERRAIN_AOT")),
