@@ -74,6 +74,17 @@ if [ -d /tmp/chipr4a/aot_store ]; then
   tagit "$LOG/aot_with_store2.log" aot_with_store_rerun
 fi
 land_jsonl "AOT re-run arms"
+
+# serve bucket-ladder AOT A/B (chain A's serve arms died to the shutdown()
+# hang + the chip collision; store dir reset so populate is honest)
+rm -rf "$LOG/serve_store" "$LOG/xs1" "$LOG/xs2"
+TERRAIN_AOT="$LOG/serve_store" run "$LOG/serve_pop.log" 5400 \
+  python scripts/aot_serve_warmup.py --xla-cache "$LOG/xs1"
+tagit "$LOG/serve_pop.log" serve_populate
+TERRAIN_AOT="$LOG/serve_store" run "$LOG/serve_store.log" 5400 \
+  python scripts/aot_serve_warmup.py --xla-cache "$LOG/xs2"
+tagit "$LOG/serve_store.log" serve_with_store
+land_jsonl "serve AOT arms"
 echo "=== Phase A0 done $(date) ===" >> "$QL"
 
 # ---- Phase A: composition traces ----
