@@ -32,6 +32,14 @@ class Prefetcher:
     def __init__(self, it, size=2, devices=None):
         self._it = it
         self._devices = devices
+        # multi-host: the wrapped iterator yields this process's LOCAL
+        # shard (HostShardIterator), so placement must assemble the global
+        # array from per-process data, not device_put the shard with the
+        # global sharding (which would demand global divisibility of the
+        # local size — caught by the 2-process trajectory test)
+        self._multi = (devices is not None
+                       and isinstance(devices, jax.sharding.Sharding)
+                       and jax.process_count() > 1)
         N = getattr(it, "N", None)
         if N is not None:
             self.N = N
@@ -56,7 +64,14 @@ class Prefetcher:
             for item in self._it:
                 if self._stop.is_set():
                     return
-                out = tuple(jax.device_put(x, self._devices) for x in item)
+                if self._multi:
+                    import numpy as np
+
+                    out = tuple(jax.make_array_from_process_local_data(
+                        self._devices, np.asarray(x)) for x in item)
+                else:
+                    out = tuple(jax.device_put(x, self._devices)
+                                for x in item)
                 if not self._put(out):
                     return
             self._put(None)  # clean exhaustion -> StopIteration downstream

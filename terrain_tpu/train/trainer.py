@@ -267,7 +267,15 @@ class TwoStageGAN:
         (tests/test_scan_step.py), so the TPU launch script
         (scripts/experiment_tpu.sh) sets TERRAIN_SCAN=16.  The library
         default stays 1: scanning k steps multiplies CPU trace time by k,
-        which punishes small off-chip workflows (and the test suite)."""
+        which punishes small off-chip workflows (and the test suite).
+
+        Multi-host pins k=1 by design, not as a TODO: the scan superstep
+        requires the device-resident DeviceDataset (in-graph index gather),
+        and that path is single-host (experiments._shard_hosts routes
+        multi-process runs through HostShardIterator host streams, whose
+        batches arrive per-step from the host and cannot be stacked into a
+        scanned xs without staging k full batches over DCN first — exactly
+        the host->device traffic the scan exists to avoid)."""
         want = int(os.environ.get("TERRAIN_SCAN", "1") or "1")
         if want <= 1 or n_steps <= 1 or jax.process_count() > 1:
             return 1
@@ -360,11 +368,12 @@ class TwoStageGAN:
         host iterators in HostShardIterator); the global sharded array is
         assembled from every host's slice without any cross-DCN copy."""
         if self._batch_sharding is not None:
-            x = np.asarray(x)
             if jax.process_count() > 1:
+                if isinstance(x, jax.Array):
+                    return x  # already assembled (Prefetcher multi-host path)
                 return jax.make_array_from_process_local_data(
-                    self._batch_sharding, x)
-            return jax.device_put(x, self._batch_sharding)
+                    self._batch_sharding, np.asarray(x))
+            return jax.device_put(np.asarray(x), self._batch_sharding)
         return jnp.asarray(x)
 
     def _sample_z(self, n):
@@ -437,10 +446,21 @@ class TwoStageGAN:
             n_steps = itr.N // batch_size
             if cap:
                 n_steps = min(n_steps, cap)
+            # multi-host: a raw HostShardIterator yields this process's
+            # LOCAL shard, while the Prefetcher wrapper yields the already-
+            # assembled GLOBAL array — _sample_z takes the GLOBAL batch
+            # size (it divides by process_count itself); passing the local
+            # size would shrink the prior batch twice and desync Z from X
+            # (caught by the 2-process trajectory test, mp_train_worker.py)
+            multi = (self._batch_sharding is not None
+                     and jax.process_count() > 1)
             for _ in range(n_steps):
                 X, Y = next(itr)
-                batch = (self._sample_z(X.shape[0]), self._put_batch(X),
-                         self._put_batch(Y))
+                n_glob = X.shape[0]
+                if multi and not isinstance(X, jax.Array):
+                    n_glob *= jax.process_count()
+                batch = (self._sample_z(n_glob),
+                         self._put_batch(X), self._put_batch(Y))
                 rng = self._next_rng()
                 if train:
                     (self.params, self.states, self.opt_states, losses) = self._train_step(
