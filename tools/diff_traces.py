@@ -25,6 +25,9 @@ def load(path):
         for r in csv.DictReader(f):
             r["total_ms"] = float(r["total_ms"])
             r["calls"] = int(r["calls"])
+            # early round-3 CSVs predate the source/category columns
+            r.setdefault("hlo_category", "")
+            r.setdefault("source", "")
             rows.append(r)
     return rows
 
