@@ -245,3 +245,10 @@ run "$LOG/bench_final.log" 3600 python bench.py
 tagit "$LOG/bench_final.log" bench_r4
 land_jsonl "final bench"
 echo "=== chain R4D done $(date) ===" >> "$QL"
+
+# ---- Phase X: leaky save-scale VJP A/B (built mid-round from the 4a
+# trace diff: 2.5 ms/step of standalone compare_select + copies at
+# activations.py:23 in the shipped composition) ----
+attr_arm bs4_leaky_mul 4 TERRAIN_LEAKY_MUL=1
+attr_arm bs8_leaky_mul 8 TERRAIN_LEAKY_MUL=1
+echo "=== Phase X done $(date) ===" >> "$QL"

@@ -173,6 +173,30 @@ def test_leaky_relu_slopes():
     np.testing.assert_allclose(np.asarray(leaky_relu(x, 0.01)), [-0.01, 0.0, 2.0])
 
 
+def test_leaky_relu_mul_vjp_matches_default(monkeypatch):
+    """TERRAIN_LEAKY_MUL=1 (save-the-scale custom VJP, multiply backward)
+    must be value- and gradient-identical to the default where-VJP,
+    including the x==0 subgradient (both take the positive branch)."""
+    import jax
+
+    x = jnp.array([-2.0, -1e-3, 0.0, 1e-3, 3.0])
+    g = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+
+    def run(slope):
+        y, vjp = jax.vjp(lambda t: leaky_relu(t, slope), x)
+        return np.asarray(y), np.asarray(vjp(g)[0])
+
+    monkeypatch.delenv("TERRAIN_LEAKY_MUL", raising=False)
+    y0, dx0 = run(0.2)
+    monkeypatch.setenv("TERRAIN_LEAKY_MUL", "1")
+    y1, dx1 = run(0.2)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_array_equal(dx0, dx1)
+    # dtype preserved through the custom path in bf16
+    yb = leaky_relu(x.astype(jnp.bfloat16), 0.01)
+    assert yb.dtype == jnp.bfloat16
+
+
 def test_bf16_conv_accumulates_fp32(rng):
     x = rng.randn(1, 8, 8, 16).astype(np.float32)
     w = rng.randn(3, 3, 16, 16).astype(np.float32) / 16
