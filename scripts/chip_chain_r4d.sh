@@ -252,3 +252,28 @@ echo "=== chain R4D done $(date) ===" >> "$QL"
 attr_arm bs4_leaky_mul 4 TERRAIN_LEAKY_MUL=1
 attr_arm bs8_leaky_mul 8 TERRAIN_LEAKY_MUL=1
 echo "=== Phase X done $(date) ===" >> "$QL"
+
+# ---- Phase Y: AOT tail from chain A (RESULTS_r4 section 1 pendings) ----
+# clean no_store re-run on the now-idle host (the chain-A arm shared the
+# core with a test suite); rows=248 is relay-warm by now, which is this
+# arm's intended semantics
+if ! grep -q '"tag": "aot_no_store_rerun"' "$ART/attr_results.jsonl" 2>/dev/null; then
+  rm -rf "$LOG/xa"
+  run "$LOG/aot_no_store2.log" 3600 python scripts/aot_coldstart.py \
+    --rows 248 --xla-cache "$LOG/xa"
+  tagit "$LOG/aot_no_store2.log" aot_no_store_rerun
+  land_jsonl "AOT no_store clean re-run"
+fi
+# serve bucket-ladder A/B: thin executables (weights are jit args), the
+# one case where the store can still pay on the 2 MB/s relay
+if ! grep -q '"tag": "serve_with_store"' "$ART/attr_results.jsonl" 2>/dev/null; then
+  rm -rf "$LOG/serve_store" "$LOG/xs1" "$LOG/xs2"
+  TERRAIN_AOT="$LOG/serve_store" run "$LOG/serve_pop.log" 5400 \
+    python scripts/aot_serve_warmup.py --xla-cache "$LOG/xs1"
+  tagit "$LOG/serve_pop.log" serve_populate
+  TERRAIN_AOT="$LOG/serve_store" run "$LOG/serve_store.log" 5400 \
+    python scripts/aot_serve_warmup.py --xla-cache "$LOG/xs2"
+  tagit "$LOG/serve_store.log" serve_with_store
+  land_jsonl "serve AOT ladder arms"
+fi
+echo "=== Phase Y done $(date) ===" >> "$QL"
