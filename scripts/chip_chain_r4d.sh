@@ -277,3 +277,7 @@ if ! grep -q '"tag": "serve_with_store"' "$ART/attr_results.jsonl" 2>/dev/null; 
   land_jsonl "serve AOT ladder arms"
 fi
 echo "=== Phase Y done $(date) ===" >> "$QL"
+
+# same-day bs4 shipped-defaults replicate so the r4 matrix has its own base
+attr_arm bs4_default_r4 4
+echo "=== Phase Z done $(date) ===" >> "$QL"
