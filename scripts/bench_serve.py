@@ -37,17 +37,28 @@ def main():
                          "for ~7x fewer response bytes at 512px")
     args = ap.parse_args()
 
+    # server output goes to a FILE, not a pipe: nobody drains a pipe here,
+    # and post-mortem of a warmup hang needs the server's own log (the
+    # round-4 serve512_png arm died "never became healthy" with zero
+    # server-side evidence because stdout went to an undrained PIPE)
+    srv_log_path = os.environ.get(
+        "TERRAIN_SERVE_LOG", f"/tmp/bench_serve_srv_{args.enc}.log")
+    srv_log = open(srv_log_path, "w")
     srv = subprocess.Popen(
         [sys.executable, "-m", "terrain_tpu.serve", args.experiment,
          "--no-weights", "--warmup", "--port", str(args.port),
          "--max-batch", str(args.max_batch)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        stdout=srv_log, stderr=subprocess.STDOUT, text=True)
     try:
         from terrain_tpu.serve.client import TerrainClient
 
         # wait for warmup (compiles every bucket size through the relay)
         deadline = time.time() + 1200
         while time.time() < deadline:
+            if srv.poll() is not None:
+                raise RuntimeError(
+                    f"server exited rc={srv.returncode} during warmup "
+                    f"(see {srv_log_path})")
             try:
                 with TerrainClient(port=args.port, timeout=5) as c:
                     if c.health().get("ok"):
@@ -55,7 +66,8 @@ def main():
             except OSError:
                 time.sleep(2.0)
         else:
-            raise RuntimeError("server never became healthy")
+            raise RuntimeError(
+                f"server never became healthy (see {srv_log_path})")
 
         lat = []
         lock = threading.Lock()
@@ -103,6 +115,7 @@ def main():
             srv.wait(timeout=30)
         except subprocess.TimeoutExpired:
             srv.kill()
+        srv_log.close()
 
 
 if __name__ == "__main__":
