@@ -26,10 +26,13 @@ low-resolution backward passes for free and XLA fuses the depth-to-space
 into the consumer.
 """
 
+import os
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from terrain_tpu.ops.conv import conv2d
 
@@ -63,11 +66,8 @@ def _depth_to_space2(y, cout):
     return y.reshape(n, 2 * h, 2 * w, cout)
 
 
-def upsample2x_nearest_conv(x, w, b=None, *, compute_dtype=None):
-    """Exactly conv2d(upsample_nearest_2x(x), w, 'same', stride 1).
-
-    x: (N,H,W,cin); w: (k,k,cin,cout), k odd.  Output (N,2H,2W,cout).
-    """
+def _nearest_conv_core(x, w, compute_dtype):
+    """The phase-decomposed upsample2x_nearest_conv map, bias-free."""
     k, cout = w.shape[0], w.shape[-1]
     cd = compute_dtype or x.dtype
     G, n_taps = _phase_grouping(k)
@@ -76,7 +76,77 @@ def upsample2x_nearest_conv(x, w, b=None, *, compute_dtype=None):
                    G, G).astype(cd)
     K = K.reshape(n_taps, n_taps, w.shape[2], 4 * cout)
     y = conv2d(x, K, stride=1, padding="same", compute_dtype=cd)
-    y = _depth_to_space2(y, cout)
+    return _depth_to_space2(y, cout)
+
+
+@lru_cache(maxsize=None)
+def _nearest_dx_taps(k):
+    """M[a, u]: combined (repeat-upsample adjoint ∘ conv-k adjoint) 1D tap
+    matrix.  dx[j] = sum_{k'} w[k']^T (g[2j-k'] + g[2j+1-k']) — a stride-2
+    (k+1)-tap conv on g, kernel K[a] = sum_u M[a,u] w[u]^T.  Zero padding
+    composes exactly (no clamp in repeat upsample), so there are NO border
+    corrections."""
+    p = (k - 1) // 2
+    M = np.zeros((k + 1, k), np.float32)
+    for u in range(k):           # u = k' + p
+        for a in (2 * p - u, 2 * p + 1 - u):
+            if 0 <= a <= k:
+                M[a, u] += 1.0
+    return M, p
+
+
+def _nearest_dx_conv(g, w):
+    """Exact dx of conv2d(repeat_upsample_2x(x), w, 'same') as ONE stride-2
+    conv on the cotangent — replaces the space-to-depth relayout +
+    4x-channel conv the autodiff backward emits (fused.py:62 measured
+    1.8 ms/step in the round-4 flagship trace)."""
+    k = w.shape[0]
+    M, p = _nearest_dx_taps(k)
+    Mj = jnp.asarray(M)
+    Kc = jnp.einsum("au,bv,uvio->aboi", Mj, Mj,
+                    w.astype(jnp.float32)).astype(g.dtype)
+    return lax.conv_general_dilated(
+        g, Kc, window_strides=(2, 2),
+        padding=((p, p + 1), (p, p + 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@jax.custom_vjp
+def _nearest_conv_cv(x, w):
+    return _nearest_conv_core(x, w, x.dtype)
+
+
+def _nearest_cv_fwd(x, w):
+    return _nearest_conv_cv(x, w), (x, w)
+
+
+def _nearest_cv_bwd(res, g):
+    x, w = res
+    gc = g.astype(x.dtype)
+    dx = _nearest_dx_conv(gc, w)
+    _, vjpw = jax.vjp(lambda w_: _nearest_conv_core(x, w_, x.dtype), w)
+    (dw,) = vjpw(gc)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_nearest_conv_cv.defvjp(_nearest_cv_fwd, _nearest_cv_bwd)
+
+
+def upsample2x_nearest_conv(x, w, b=None, *, compute_dtype=None):
+    """Exactly conv2d(upsample_nearest_2x(x), w, 'same', stride 1).
+
+    x: (N,H,W,cin); w: (k,k,cin,cout), k odd.  Output (N,2H,2W,cout).
+
+    TERRAIN_NEAREST_BWD=conv swaps the autodiff backward's dx
+    (space-to-depth + 4x-channel conv adjoint) for the single combined
+    stride-2 conv (_nearest_dx_conv) — exact, opt-in pending the on-chip
+    in-context A/B (round-3 lesson: measure compositions, not knobs).
+    """
+    cd = compute_dtype or x.dtype
+    if os.environ.get("TERRAIN_NEAREST_BWD", "0") == "conv":
+        y = _nearest_conv_cv(x.astype(cd), w)
+    else:
+        y = _nearest_conv_core(x, w, cd)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -109,19 +179,59 @@ def bilinear2x_conv3x3(x, w, b=None, *, compute_dtype=None):
     return conv2d(up, w, b, stride=1, padding="same", compute_dtype=cd)
 
 
-def deconv2x2(x, w, b=None, *, compute_dtype=None):
-    """Exactly conv2d_transpose(x, w, stride=2) for k=2: non-overlapping
-    2x2 scatter of the flipped kernel == matmul + depth-to-space.
-
-    x: (N,H,W,cin); w: (2,2,cin,cout).  Output (N,2H,2W,cout).
-    """
+def _deconv2x2_core(x, w, compute_dtype):
     cout = w.shape[-1]
     cd = compute_dtype or x.dtype
     wf = w[::-1, ::-1]  # conv2d_transpose scatters the flipped kernel
     # (N,H,W,cin) @ (cin, 2*2*cout)
     wm = wf.transpose(2, 0, 1, 3).reshape(w.shape[2], 4 * cout).astype(cd)
     y = jnp.einsum("nhwi,ix->nhwx", x.astype(cd), wm)
-    y = _depth_to_space2(y, cout)
+    return _depth_to_space2(y, cout)
+
+
+@jax.custom_vjp
+def _deconv2x2_cv(x, w):
+    return _deconv2x2_core(x, w, x.dtype)
+
+
+def _deconv2x2_cv_fwd(x, w):
+    return _deconv2x2_cv(x, w), (x, w)
+
+
+def _deconv2x2_cv_bwd(res, g):
+    x, w = res
+    gc = g.astype(x.dtype)
+    # dx[i,j,ci] = sum_{p,q,o} wf[p,q,ci,o] g[2i+p, 2j+q, o]: the
+    # non-overlapping scatter's adjoint is a stride-2 2x2 VALID conv —
+    # no space-to-depth relayout (which autodiff would emit, fused.py:62)
+    wf = w[::-1, ::-1]
+    Kc = jnp.transpose(wf, (0, 1, 3, 2)).astype(gc.dtype)  # (2,2,cout,cin)
+    dx = lax.conv_general_dilated(
+        gc, Kc, window_strides=(2, 2), padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    _, vjpw = jax.vjp(lambda w_: _deconv2x2_core(x, w_, x.dtype), w)
+    (dw,) = vjpw(gc)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+_deconv2x2_cv.defvjp(_deconv2x2_cv_fwd, _deconv2x2_cv_bwd)
+
+
+def deconv2x2(x, w, b=None, *, compute_dtype=None):
+    """Exactly conv2d_transpose(x, w, stride=2) for k=2: non-overlapping
+    2x2 scatter of the flipped kernel == matmul + depth-to-space.
+
+    x: (N,H,W,cin); w: (2,2,cin,cout).  Output (N,2H,2W,cout).
+
+    TERRAIN_DECONV_BWD=conv swaps the autodiff dx (space-to-depth +
+    matmul adjoint) for a single stride-2 2x2 VALID conv — exact, opt-in
+    pending the on-chip in-context A/B.
+    """
+    cd = compute_dtype or x.dtype
+    if os.environ.get("TERRAIN_DECONV_BWD", "0") == "conv":
+        y = _deconv2x2_cv(x.astype(cd), w)
+    else:
+        y = _deconv2x2_core(x, w, cd)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

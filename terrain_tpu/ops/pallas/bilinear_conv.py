@@ -181,6 +181,108 @@ def _dense_composite(x, w, b):
     return conv2d(up, w, b, stride=1, padding="same", compute_dtype=x.dtype)
 
 
+def _tap_matrix_bilinear():
+    """M[a, u] with Kc[a,b,o,i] = sum_{u,v} M[a,u] M[b,v] w[u,v,i,o]: the
+    1D composition of the bilinear-x2 adjoint (4-tap [1/4,3/4,3/4,1/4],
+    stride 2) with the 3x3 conv adjoint — per axis, interior taps.
+
+    Derivation: dx[i] = sum_{a1} k1[a1] t[2i-1+a1], t[p] = sum_u w[u]^T
+    g[p+1-u]  =>  dx[i] = sum_e Ke[e] g[2i+e], e = a1-u in [-2,3],
+    Ke[e] = sum_u k1[e+u] w[u]^T.  a = e+2."""
+    import numpy as np
+
+    k1 = np.array([0.25, 0.75, 0.75, 0.25], np.float32)
+    M = np.zeros((6, 3), np.float32)
+    for a in range(6):
+        for u in range(3):
+            j = a - 2 + u
+            if 0 <= j < 4:
+                M[a, u] = k1[j]
+    return M
+
+
+def _down4(v, axis, *, fix):
+    """Stride-2 4-tap [1/4,3/4,3/4,1/4] downsample (the bilinear-x2
+    adjoint's conv part), zero pad (1,2); ``fix`` adds the edge-clamp
+    adjoint (+1/4 of the first/last input sample onto the first/last
+    output sample, ops/resize.py:_interp_axis clamp semantics)."""
+    n = v.shape[axis]
+    ho = n // 2
+    pads = [(0, 0)] * v.ndim
+    pads[axis] = (1, 2)
+    vp = jnp.pad(v, pads)
+
+    def sl(a):
+        return lax.slice_in_dim(vp, a, a + 2 * ho - 1, stride=2, axis=axis)
+
+    out = 0.25 * sl(0) + 0.75 * sl(1) + 0.75 * sl(2) + 0.25 * sl(3)
+    if fix:
+        head = lax.slice_in_dim(out, 0, 1, axis=axis) \
+            + 0.25 * lax.slice_in_dim(v, 0, 1, axis=axis)
+        tail = lax.slice_in_dim(out, ho - 1, ho, axis=axis) \
+            + 0.25 * lax.slice_in_dim(v, n - 1, n, axis=axis)
+        mid = lax.slice_in_dim(out, 1, ho - 1, axis=axis)
+        out = jnp.concatenate([head, mid, tail], axis=axis)
+    return out
+
+
+def _dx_conv6(g, w):
+    """Exact dx of (bilinear-x2 upsample -> conv3x3 'same'): ONE stride-2
+    6x6 conv on the cotangent (combined kernel, interior) plus border
+    strips for the upsample's edge clamp.
+
+    The dense adjoint's interleave (stack/reshape transpose of
+    ops/resize.py:_interp_axis) lowers to stride-2 relayout copies + loop
+    fusions the round-4 trace measured at ~5.4 ms/step (fused.py:104,
+    docs/RESULTS_r4.md section 4a); this formulation is the same FLOPs as
+    the plain conv adjoint (36*cin*cout*H^2) expressed as a single normal
+    strided convolution, with no 2x-resolution intermediate in HBM.
+    Gated by TERRAIN_BC_BWD=conv6 pending the on-chip in-context A/B."""
+    n, h2, w2, _ = g.shape
+    ho, wo = h2 // 2, w2 // 2
+    cd = g.dtype
+    M = jnp.asarray(_tap_matrix_bilinear())
+    Kc = jnp.einsum("au,bv,uvio->aboi", M, M,
+                    w.astype(jnp.float32)).astype(cd)
+    main = lax.conv_general_dilated(
+        g, Kc, window_strides=(2, 2), padding=((2, 3), (2, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # border strips of t = conv3x3-adjoint(g): rows/cols 0..2 and last 3,
+    # from 4-row/col slabs of g (f32 — the strips are 1/H of the work)
+    wT = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2)).astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    t_top = lax.conv_general_dilated(
+        g32[:, 0:4], wT, (1, 1), padding=((1, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))        # t rows 0..2
+    t_bot = lax.conv_general_dilated(
+        g32[:, h2 - 4:], wT, (1, 1), padding=((0, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))        # t rows 2H-3..2H-1
+    t_lef = lax.conv_general_dilated(
+        g32[:, :, 0:4], wT, (1, 1), padding=((1, 1), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))        # t cols 0..2
+    t_rig = lax.conv_general_dilated(
+        g32[:, :, w2 - 4:], wT, (1, 1), padding=((1, 1), (0, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))        # t cols 2W-3..2W-1
+
+    # true first/last output rows: clamp-inclusive h-weights [1, 3/4, 1/4]
+    # on the three border t rows, then the full (clamped) w-axis adjoint
+    row0 = _down4(1.0 * t_top[:, 0:1] + 0.75 * t_top[:, 1:2]
+                  + 0.25 * t_top[:, 2:3], 2, fix=True)
+    rowL = _down4(0.25 * t_bot[:, 0:1] + 0.75 * t_bot[:, 1:2]
+                  + 1.0 * t_bot[:, 2:3], 2, fix=True)
+    col0 = _down4(1.0 * t_lef[:, :, 0:1] + 0.75 * t_lef[:, :, 1:2]
+                  + 0.25 * t_lef[:, :, 2:3], 1, fix=True)
+    colL = _down4(0.25 * t_rig[:, :, 0:1] + 0.75 * t_rig[:, :, 1:2]
+                  + 1.0 * t_rig[:, :, 2:3], 1, fix=True)
+
+    mid = jnp.concatenate(
+        [col0[:, 1:ho - 1].astype(cd), main[:, 1:ho - 1, 1:wo - 1],
+         colL[:, 1:ho - 1].astype(cd)], axis=2)
+    return jnp.concatenate(
+        [row0.astype(cd), mid, rowL.astype(cd)], axis=1)
+
+
 @jax.custom_vjp
 def bilinear2x_conv3x3_pallas(x, w, b):
     """Fused bilinear-x2 + conv3x3 'same'; callers check `supported`."""
@@ -195,9 +297,19 @@ def _bwd(res, g):
     import os
 
     x, w, b = res
-    if os.environ.get("TERRAIN_BC_BWD", "dense") == "xla32":
+    mode = os.environ.get("TERRAIN_BC_BWD", "dense")
+    if mode == "xla32":
         _, vjp = jax.vjp(_xla_composite, x, w, b)
         dx, dw, db = vjp(g.astype(jnp.float32))
+    elif mode == "conv6":
+        # dx via the combined strided conv; dw/db via the dense composite's
+        # partial vjp (the conv fwd is DCE'd under jit — only the resize fwd
+        # residual and the dW conv run, same as the dense path)
+        gc = g.astype(x.dtype)
+        dx = _dx_conv6(gc, w)
+        _, vjp = jax.vjp(
+            lambda w_, b_: _dense_composite(x, w_, b_), w, b)
+        dw, db = vjp(gc)
     else:
         _, vjp = jax.vjp(_dense_composite, x, w, b)
         dx, dw, db = vjp(g.astype(x.dtype))

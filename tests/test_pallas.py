@@ -550,3 +550,39 @@ def test_conv_thin_bf16_jit_grads(rng, monkeypatch):
         assert np.isfinite(g).all()
         scale = max(float(np.abs(r).max()), 1e-6)
         assert float(np.abs(g - r).max()) / scale < 0.1
+
+
+@pytest.mark.parametrize("shape,f", [
+    ((1, 4, 4, 3), 5),      # tiny, borders dominate
+    ((2, 8, 6, 4), 8),      # non-square
+    ((1, 16, 16, 8), 8),    # flagship-ish
+    ((1, 2, 2, 2), 3),      # degenerate: every output pixel is border
+])
+def test_bc_bwd_conv6_matches_dense(shape, f, rng, monkeypatch):
+    """TERRAIN_BC_BWD=conv6: the combined stride-2 6x6-conv dx (plus
+    border-clamp strips) equals the dense composite's adjoint exactly;
+    dw/db ride the same partial vjp either way."""
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, shape[-1], f).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(f).astype(np.float32))
+    g = jnp.asarray(rng.randn(shape[0], 2 * shape[1], 2 * shape[2],
+                              f).astype(np.float32))
+    _, vjp = jax.vjp(bc._dense_composite, x, w, b)
+    dx0, dw0, db0 = vjp(g)
+    np.testing.assert_allclose(np.asarray(bc._dx_conv6(g, w)),
+                               np.asarray(dx0), rtol=1e-4, atol=1e-5)
+    # end-to-end through the custom_vjp dispatch (interpret-mode forward;
+    # only where the fwd kernel can tile the shape)
+    if not (bc._pick_tile(shape[1], bc.TILE)
+            and bc._pick_tile(shape[2], bc.TILE)):
+        return
+    monkeypatch.setattr(bc, "_INTERPRET", True)
+    monkeypatch.setenv("TERRAIN_BC_BWD", "conv6")
+    g_c = jax.grad(lambda *a: jnp.vdot(bc.bilinear2x_conv3x3_pallas(*a), g),
+                   argnums=(0, 1, 2))(x, w, b)
+    monkeypatch.setenv("TERRAIN_BC_BWD", "dense")
+    g_d = jax.grad(lambda *a: jnp.vdot(bc.bilinear2x_conv3x3_pallas(*a), g),
+                   argnums=(0, 1, 2))(x, w, b)
+    for p, q in zip(g_c, g_d):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(q),
+                                   rtol=1e-4, atol=1e-5)
