@@ -152,6 +152,11 @@ def supported(x_shape, w_shape, stride, padding, backend=None):
     return (padding == "same" and s == (1, 1)
             and kh == K and kw == K and ci == c
             and 8 <= c <= 64 and c % 8 == 0 and 1 <= f <= 8
+            # bs=8 in-context chip A/B: the kernel costs +1.3 ms/step there
+            # (its boundary transposes scale with batch while the XLA
+            # counterpart amortizes better) while winning -2.3 ms at bs=4,
+            # so the regime is batch-gated (docs/RESULTS_r4.md 4c)
+            and n <= 4
             and h % TH == 0 and h >= 64
             and w % 128 == 0 and 128 <= w <= 1024)
 

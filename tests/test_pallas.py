@@ -447,6 +447,9 @@ def test_conv_thin_regime_guard():
     # cin=1 is the stem's regime, not this kernel's
     assert not ct.supported((4, 512, 512, 1), (3, 3, 1, 4), (1, 1), "same",
                             backend="tpu")
+    # bs=8 measured the kernel as a +1.3 ms loss (RESULTS_r4 4c): batch-gated
+    assert not ct.supported((8, 256, 256, 32), (3, 3, 32, 4), (1, 1), "same",
+                            backend="tpu")
 
 
 def test_conv_thin_dispatch_flag(rng, monkeypatch):
