@@ -42,13 +42,18 @@ def main():
     # round-4 serve512_png arm died "never became healthy" with zero
     # server-side evidence because stdout went to an undrained PIPE)
     srv_log_path = os.environ.get(
-        "TERRAIN_SERVE_LOG", f"/tmp/bench_serve_srv_{args.enc}.log")
+        "TERRAIN_SERVE_LOG",
+        f"/tmp/bench_serve_srv_{args.enc}_{os.getpid()}.log")
     srv_log = open(srv_log_path, "w")
-    srv = subprocess.Popen(
-        [sys.executable, "-m", "terrain_tpu.serve", args.experiment,
-         "--no-weights", "--warmup", "--port", str(args.port),
-         "--max-batch", str(args.max_batch)],
-        stdout=srv_log, stderr=subprocess.STDOUT, text=True)
+    try:
+        srv = subprocess.Popen(
+            [sys.executable, "-m", "terrain_tpu.serve", args.experiment,
+             "--no-weights", "--warmup", "--port", str(args.port),
+             "--max-batch", str(args.max_batch)],
+            stdout=srv_log, stderr=subprocess.STDOUT, text=True)
+    except BaseException:
+        srv_log.close()
+        raise
     try:
         from terrain_tpu.serve.client import TerrainClient
 

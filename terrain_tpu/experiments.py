@@ -149,8 +149,27 @@ def _get_data(in_shp, is_a_grayscale=True, is_b_grayscale=False):
     return _shard_hosts(get_iterators(path, bs, is_a_grayscale, is_b_grayscale))
 
 
-def _resolve_model(model_dir, preferred=None):
-    """Prefer the reference's hardcoded checkpoint name, else latest epoch."""
+def _resolve_model(model_dir, preferred=None, out_dir=None,
+                   metric="swd_mean"):
+    """Resolve the checkpoint for gen/interp modes.
+
+    Default (TERRAIN_PICK=swd): pick the quality-BEST epoch from the run's
+    swd.txt trend — the reference's own publication practice (README.md:48-61
+    ships ~e593 of 1000, dump_a_bakup_593ish/), and our 512px trajectories
+    show the same late SWD drift (RESULTS_r4.md §2b).  TERRAIN_PICK=name
+    restores the previous behavior: the reference's hardcoded checkpoint
+    name when present, else the latest epoch.
+    """
+    if out_dir is not None and _env("TERRAIN_PICK", "swd") == "swd":
+        from terrain_tpu.train.checkpoint import pick_best_epoch
+
+        pick = pick_best_epoch(out_dir, model_dir, metric=metric)
+        if pick is not None:
+            path, ckpt_epoch, best_epoch, value = pick
+            print(f"[pick] {metric} best @e{best_epoch} ({value:.4f}) -> "
+                  f"checkpoint {os.path.basename(path)} "
+                  f"(TERRAIN_PICK=name for the reference's fixed name)")
+            return path
     if preferred:
         cand = os.path.join(model_dir, preferred)
         if os.path.exists(cand):
@@ -159,6 +178,11 @@ def _resolve_model(model_dir, preferred=None):
     if not models:
         raise FileNotFoundError(f"no checkpoints under {model_dir}")
     return max(models, key=lambda p: int(os.path.basename(p).split(".")[0]))
+
+
+def _out_dir(name):
+    """The run's output dir (where the trainer writes swd.txt)."""
+    return os.path.join(_env("TERRAIN_OUT", "output"), name)
 
 
 def _run(model, name, mode, bs):
@@ -385,11 +409,13 @@ def test1_nobn(mode):
     if mode == "train":
         _run(model, name, mode, bs)
     elif mode == "interp":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name)))
         zs = model.sampler(2, model.latent_dim)
         model.generate_interpolation("/tmp/test.png", zs[0], zs[1], mode="matrix")
     elif mode == "gen":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name)))
         model.generate_gz(100, 10, "deleteme")
 
 
@@ -405,15 +431,18 @@ def test1_nobn_finetunep2p_bilin(mode):
     models_root = _env("TERRAIN_MODELS", "models")
     if mode == "train":
         model.load_model(
-            _resolve_model(os.path.join(models_root, base), "1000.model"),
+            _resolve_model(os.path.join(models_root, base), "1000.model",
+                           out_dir=_out_dir(base)),
             mode="dcgan")
         _run(model, name, mode, bs)
     elif mode == "interp":
         model.load_model(
-            _resolve_model(os.path.join(models_root, base), "1000.model"),
+            _resolve_model(os.path.join(models_root, base), "1000.model",
+                           out_dir=_out_dir(base)),
             mode="dcgan")
         model.load_model(
-            _resolve_model(os.path.join(models_root, name), "1000.model"),
+            _resolve_model(os.path.join(models_root, name), "1000.model",
+                           out_dir=_out_dir(name), metric="p2p_swd_mean"),
             mode="p2p")
         out = os.path.join(_env("TERRAIN_OUT", "output"), name,
                            "interp_clip_600_concat_bothdet")
@@ -433,11 +462,14 @@ def test1_nobn_bilin_both(mode):
     if mode == "train":
         _run(model, name, mode, bs)
     elif mode == "gen":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name)))
         model.generate_gz(100, 10, os.path.join(_env("TERRAIN_OUT", "output"),
                                                 name, "gen"))
     elif mode == "interp":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name),
+                                        metric="both"))
         out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
         model.generate_interpolation_clip(10, 4, out, concat=True)
 
@@ -463,11 +495,14 @@ def test1_nobn_bilin_both_stable(mode):
     if mode == "train":
         _run(model, name, mode, bs)
     elif mode == "gen":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name)))
         model.generate_gz(100, 10, os.path.join(_env("TERRAIN_OUT", "output"),
                                                 name, "gen"))
     elif mode == "interp":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name),
+                                        metric="both"))
         out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
         model.generate_interpolation_clip(10, 4, out, concat=True)
 
@@ -513,11 +548,14 @@ def _earth256_impl(mode, disc_out, name):
     if mode == "train":
         _run(model, name, mode, bs)
     elif mode == "gen":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name)))
         model.generate_gz(100, 10, os.path.join(_env("TERRAIN_OUT", "output"),
                                                 name, "gen"))
     elif mode == "interp":
-        model.load_model(_resolve_model(model_dir, "600.model"))
+        model.load_model(_resolve_model(model_dir, "600.model",
+                                        out_dir=_out_dir(name),
+                                        metric="both"))
         out = os.path.join(_env("TERRAIN_OUT", "output"), name, "interp_clip")
         model.generate_interpolation_clip(10, 4, out, concat=True)
 
@@ -556,15 +594,18 @@ def earth256_finetunep2p(mode):
     models_root = _env("TERRAIN_MODELS", "models")
     if mode == "train":
         model.load_model(
-            _resolve_model(os.path.join(models_root, base), "600.model"),
+            _resolve_model(os.path.join(models_root, base), "600.model",
+                           out_dir=_out_dir(base)),
             mode="dcgan")
         _run(model, name, mode, bs)
     elif mode == "interp":
         model.load_model(
-            _resolve_model(os.path.join(models_root, base), "600.model"),
+            _resolve_model(os.path.join(models_root, base), "600.model",
+                           out_dir=_out_dir(base)),
             mode="dcgan")
         model.load_model(
-            _resolve_model(os.path.join(models_root, name), "600.model"),
+            _resolve_model(os.path.join(models_root, name), "600.model",
+                           out_dir=_out_dir(name), metric="p2p_swd_mean"),
             mode="p2p")
         out = os.path.join(_env("TERRAIN_OUT", "output"), name,
                            "interp_clip_concat_bothdet")
@@ -572,10 +613,12 @@ def earth256_finetunep2p(mode):
                                           deterministic=True)
     elif mode == "gen":
         model.load_model(
-            _resolve_model(os.path.join(models_root, base), "600.model"),
+            _resolve_model(os.path.join(models_root, base), "600.model",
+                           out_dir=_out_dir(base)),
             mode="dcgan")
         model.load_model(
-            _resolve_model(os.path.join(models_root, name), "600.model"),
+            _resolve_model(os.path.join(models_root, name), "600.model",
+                           out_dir=_out_dir(name), metric="p2p_swd_mean"),
             mode="p2p")
         model.generate_gz(100, 10, os.path.join(
             _env("TERRAIN_OUT", "output"), name, "gen"))

@@ -139,8 +139,11 @@ def upsample2x_nearest_conv(x, w, b=None, *, compute_dtype=None):
 
     TERRAIN_NEAREST_BWD=conv swaps the autodiff backward's dx
     (space-to-depth + 4x-channel conv adjoint) for the single combined
-    stride-2 conv (_nearest_dx_conv) — exact, opt-in pending the on-chip
-    in-context A/B (round-3 lesson: measure compositions, not knobs).
+    stride-2 conv (_nearest_dx_conv) — exact, and measured a LOSS on the
+    512px flagship (round-4 chain F: 66.42 ms alone, 63.13 combined with
+    bc6, vs 61.35 for bc6 alone), so it stays opt-in as an A/B knob.
+    Read at TRACE time: set before the first jitted step compiles
+    (flipping it afterwards silently keeps the compiled backward).
     """
     cd = compute_dtype or x.dtype
     if os.environ.get("TERRAIN_NEAREST_BWD", "0") == "conv":
@@ -224,8 +227,12 @@ def deconv2x2(x, w, b=None, *, compute_dtype=None):
     x: (N,H,W,cin); w: (2,2,cin,cout).  Output (N,2H,2W,cout).
 
     TERRAIN_DECONV_BWD=conv swaps the autodiff dx (space-to-depth +
-    matmul adjoint) for a single stride-2 2x2 VALID conv — exact, opt-in
-    pending the on-chip in-context A/B.
+    matmul adjoint) for a single stride-2 2x2 VALID conv — exact, and
+    measured neutral-to-losing on the 512px flagship (round-4 chains F/G:
+    64.18 ms alone, 61.72 with bc6 vs bc6-alone 61.35/62.09 — inside the
+    noise band), so it stays opt-in as an A/B knob.  Read at TRACE time:
+    set before the first jitted step compiles (flipping it afterwards
+    silently keeps the compiled backward).
     """
     cd = compute_dtype or x.dtype
     if os.environ.get("TERRAIN_DECONV_BWD", "0") == "conv":

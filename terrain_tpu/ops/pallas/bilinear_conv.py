@@ -22,9 +22,16 @@ zero-pads; inside one kernel both behaviors coexist exactly:
     cheap sublane moves and there is no im2col relayout; channel chunks of
     128 accumulate into an fp32 tile.
 
-Backward: custom VJP via the XLA composite (resize + conv) — upsample and
-conv are linear in x, so the composite's vjp is exact; the fwd win also
-benefits the eval/sampler paths on its own.
+Backward: custom VJP.  The SHIPPED dx path (TERRAIN_BC_BWD=conv6, default
+since round 5) expresses the exact adjoint of (bilinear-x2 -> conv3x3) as
+ONE stride-2 6x6 convolution on the cotangent plus edge-clamp border strips
+(`_dx_conv6`) — measured 61.35 vs 64.94 ms/step bs=4 (replicate 62.09) and
+118.1 vs 120.3 bs=8 on the 512px flagship, with a healthy 600-epoch quality
+trajectory (docs/RESULTS_r4.md section 4d, docs/artifacts_r4/stable512_bc6/).
+TERRAIN_BC_BWD=dense keeps the round-3/4 dense-composite adjoint;
+TERRAIN_BC_BWD=xla32 keeps the f32 XLA composite vjp.  Like all TERRAIN_*
+backward knobs, the value is read at TRACE time — set it before the first
+jitted step compiles (see ops/fused.py).
 """
 
 import functools
@@ -237,8 +244,17 @@ def _dx_conv6(g, w):
     docs/RESULTS_r4.md section 4a); this formulation is the same FLOPs as
     the plain conv adjoint (36*cin*cout*H^2) expressed as a single normal
     strided convolution, with no 2x-resolution intermediate in HBM.
-    Gated by TERRAIN_BC_BWD=conv6 pending the on-chip in-context A/B."""
+    SHIPPED default since round 5: the on-chip in-context A/B won at both
+    bs=4 (61.35 vs 64.94 ms) and bs=8 (118.1 vs 120.3), and the 600-epoch
+    quality trajectory through it is healthy (docs/RESULTS_r4.md section 4d,
+    docs/artifacts_r4/stable512_bc6/)."""
     n, h2, w2, _ = g.shape
+    # slices below take 4-row/col slabs of g and 3-row/col border strips;
+    # anything smaller is out of regime — fail loudly, not with a concat
+    # shape error (the custom_vjp is reachable directly, bypassing
+    # `supported`)
+    assert h2 >= 4 and w2 >= 4, (
+        f"_dx_conv6 needs cotangent H,W >= 4 (input H,W >= 2); got {g.shape}")
     ho, wo = h2 // 2, w2 // 2
     cd = g.dtype
     M = jnp.asarray(_tap_matrix_bilinear())
@@ -297,7 +313,7 @@ def _bwd(res, g):
     import os
 
     x, w, b = res
-    mode = os.environ.get("TERRAIN_BC_BWD", "dense")
+    mode = os.environ.get("TERRAIN_BC_BWD", "conv6")
     if mode == "xla32":
         _, vjp = jax.vjp(_xla_composite, x, w, b)
         dx, dw, db = vjp(g.astype(jnp.float32))

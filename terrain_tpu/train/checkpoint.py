@@ -72,3 +72,61 @@ def load_model(filename, params, states, mode="both"):
             new_params[net] = jax.tree.map(np.asarray, entry["params"])
             new_states[net] = jax.tree.map(np.asarray, entry["state"])
     return new_params, new_states, payload.get("extra")
+
+
+def pick_best_epoch(out_dir, model_dir, metric="swd_mean"):
+    """Pick the checkpoint at the quality-best epoch from a run's swd.txt.
+
+    The reference's own publication used the best epoch, not the last
+    (README.md:48-61 publishes ~e593 out of 1000; dump_a_bakup_593ish/),
+    and the repo's 512px trajectories show the same late drift (SWD best
+    at e475-525, worse at e600 — docs/RESULTS_r4.md section 2b).  swd.txt
+    (trainer.py:_eval_quality) already records the per-epoch trend; this
+    reads it, dedupes resumed epochs (last row wins), finds the epoch
+    minimizing `metric` ("swd_mean", "p2p_swd_mean", or "both" = their
+    sum), and snaps to the nearest saved `<epoch>.model` in model_dir.
+
+    Returns (path, ckpt_epoch, best_epoch, value) or None when swd.txt is
+    absent/empty or no checkpoints exist (callers fall back to the
+    name-based resolution).
+    """
+    import glob
+    import os
+
+    swd_path = os.path.join(out_dir, "swd.txt")
+    if not os.path.exists(swd_path):
+        return None
+    rows = {}
+    with open(swd_path) as f:
+        header = f.readline().strip().split(",")
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) != len(header):
+                continue  # torn row from a killed run (CLAUDE.md trap)
+            try:
+                rows[int(float(parts[0]))] = {
+                    k: float(v) for k, v in zip(header[1:], parts[1:])}
+            except ValueError:
+                continue
+    if not rows:
+        return None
+
+    def score(r):
+        if metric == "both":
+            return r.get("swd_mean", np.inf) + r.get("p2p_swd_mean", 0.0)
+        return r.get(metric, np.inf)
+
+    best_epoch = min(rows, key=lambda e: score(rows[e]))
+    value = score(rows[best_epoch])
+    if not np.isfinite(value):
+        return None
+    ckpts = {}
+    for p in glob.glob(os.path.join(model_dir, "*.model")):
+        try:
+            ckpts[int(os.path.basename(p).split(".")[0])] = p
+        except ValueError:
+            continue
+    if not ckpts:
+        return None
+    ckpt_epoch = min(ckpts, key=lambda e: (abs(e - best_epoch), -e))
+    return ckpts[ckpt_epoch], ckpt_epoch, best_epoch, value

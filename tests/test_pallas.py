@@ -580,12 +580,27 @@ def test_bc_bwd_conv6_matches_dense(shape, f, rng, monkeypatch):
             and bc._pick_tile(shape[2], bc.TILE)):
         return
     monkeypatch.setattr(bc, "_INTERPRET", True)
+    # shipped DEFAULT (no env var) is conv6 since round 5
+    monkeypatch.delenv("TERRAIN_BC_BWD", raising=False)
+    g_def = jax.grad(lambda *a: jnp.vdot(bc.bilinear2x_conv3x3_pallas(*a), g),
+                     argnums=(0, 1, 2))(x, w, b)
     monkeypatch.setenv("TERRAIN_BC_BWD", "conv6")
     g_c = jax.grad(lambda *a: jnp.vdot(bc.bilinear2x_conv3x3_pallas(*a), g),
                    argnums=(0, 1, 2))(x, w, b)
     monkeypatch.setenv("TERRAIN_BC_BWD", "dense")
     g_d = jax.grad(lambda *a: jnp.vdot(bc.bilinear2x_conv3x3_pallas(*a), g),
                    argnums=(0, 1, 2))(x, w, b)
-    for p, q in zip(g_c, g_d):
+    for p, q, r in zip(g_c, g_d, g_def):
         np.testing.assert_allclose(np.asarray(p), np.asarray(q),
                                    rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(q),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dx_conv6_out_of_regime_fails_loudly(rng):
+    """Direct _dx_conv6 use below the 4x4-cotangent floor raises the
+    explicit regime assert, not a confusing concat shape error."""
+    g = jnp.asarray(rng.randn(1, 2, 2, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 2, 3).astype(np.float32))
+    with pytest.raises(AssertionError, match="H,W >= 4"):
+        bc._dx_conv6(g, w)

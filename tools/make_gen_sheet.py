@@ -28,6 +28,11 @@ def main():
     if not files:
         raise SystemExit(f"no PNGs under {args.gen_dir}")
     imgs = [imread(f) for f in files]
+    for f, im in zip(files, imgs):
+        if im.shape != imgs[0].shape:
+            raise SystemExit(
+                f"{f}: shape {im.shape} != first tile's {imgs[0].shape} "
+                f"({files[0]}) — mixed-size/channel gen dir")
     h, w = imgs[0].shape[:2]
     sheet = np.zeros((args.k * h, args.k * w) + imgs[0].shape[2:],
                      imgs[0].dtype)
