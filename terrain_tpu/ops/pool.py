@@ -5,18 +5,23 @@ by the DCGAN discriminator (reference architectures/dcgan.py:46-52).  With
 pool_size dividing the input and no implicit padding, 'average_inc_pad'
 reduces to a plain mean over the window.
 
-Max-pool backward: XLA's reduce_window grad lowers to select-and-scatter,
-which the round-3 flagship trace measured at ~3.8 ms/step
-(docs/artifacts_r3/attr/trace_ops.csv, source pool.py).  A dense custom
-VJP was built (equality-mask against the broadcast max, cotangent split
-evenly among ties — sum-preserving; select-and-scatter routes to the first
-maximum; ties have measure zero on continuous activations) and measured
-IN CONTEXT on chip: the dense backward made the full step 5.7 ms SLOWER
-(74.1 -> 68.4 when reverted, docs/RESULTS_r3.md decomposition matrix) —
-its (n,h/2,2,w/2,2,c) window reshape relayouts in bf16 cost more than the
-scatter it replaced.  It therefore defaults OFF; TERRAIN_POOL_VJP=dense
-re-enables it (grads equality-tested against the reduce_window grad on
-tie-free inputs, tests/test_ops.py).
+Max-pool backward: XLA's reduce_window grad lowers to select-and-scatter;
+the round-4 flagship trace attributes ~6.4 ms/step to pool fwd+bwd
+(docs/RESULTS_r4.md section 4a).  Two custom-VJP alternatives exist:
+
+* TERRAIN_POOL_VJP=dense (round 3): equality-mask against the broadcast
+  max over a (n,h/2,2,w/2,2,c) window reshape, cotangent split among
+  ties.  Measured IN CONTEXT on chip: 5.7 ms SLOWER (74.1 -> 68.4 when
+  reverted, docs/RESULTS_r3.md) — the 6D reshape keeps permuting the
+  (sublane, lane) tiling in bf16.  Kept as the measured-loss reference.
+* TERRAIN_POOL_VJP=lanes (round 5): the same adjoint with every pairing
+  op moved OFF the tiled dims — (n,h,w,c)->(n,h,w/2,2c) is a contiguous
+  (free) reshape putting the W pair on the lane dim, and the H pair
+  strides the major h dim.  Single-winner tie routing matching
+  select-and-scatter's row-major-first convention (tests/test_ops.py).
+
+Both default OFF pending the in-context chip A/B (round-3 lesson: the
+composition decides, not the op microbench).
 """
 
 from functools import partial
@@ -61,14 +66,69 @@ def _mp_bwd(size, res, g):
 _max_pool2d_nonoverlap.defvjp(_mp_fwd, _mp_bwd)
 
 
+def _lanes_core(x):
+    """2x2 s2 max pool via lane-dim W pairing + major-dim H pairing.
+
+    (n,h,w,c) -> (n,h,w/2,2c) is a CONTIGUOUS reshape (free, no relayout):
+    lane row w-pair p holds [x[.., 2p, :], x[.., 2p+1, :]], so the W-pair
+    max is a lane-slice maximum and the H-pair max strides the MAJOR h dim
+    — neither touches the (sublane, lane) tiling the round-3 dense
+    formulation's 6D window reshape kept permuting."""
+    n, h, w, c = x.shape
+    xr = x.reshape(n, h, w // 2, 2 * c)
+    m = jnp.maximum(xr[..., :c], xr[..., c:])
+    return jnp.maximum(m[:, 0::2], m[:, 1::2]), m
+
+
+@jax.custom_vjp
+def _max_pool2d_lanes(x):
+    return _lanes_core(x)[0]
+
+
+def _lanes_fwd(x):
+    y, _ = _lanes_core(x)
+    return y, (x,)
+
+
+def _lanes_bwd(res, g):
+    (x,) = res
+    n, h, w, c = x.shape
+    xr = x.reshape(n, h, w // 2, 2 * c)
+    a, b = xr[..., :c], xr[..., c:]
+    m = jnp.maximum(a, b)
+    # single-winner routing, ties to the row-major-first element — the same
+    # convention as XLA's select-and-scatter (grads equality-tested on
+    # tie-free inputs and on deliberate ties, tests/test_ops.py)
+    hm = m[:, 0::2] >= m[:, 1::2]
+    ge = g.astype(x.dtype)
+    de = jnp.where(hm, ge, 0)
+    do = jnp.where(hm, 0, ge)
+    dm = jnp.stack([de, do], axis=2).reshape(n, h, w // 2, c)
+    wm = a >= b
+    dxr = jnp.concatenate(
+        [jnp.where(wm, dm, 0), jnp.where(wm, 0, dm)], axis=-1)
+    return (dxr.reshape(n, h, w, c),)
+
+
+_max_pool2d_lanes.defvjp(_lanes_fwd, _lanes_bwd)
+
+
 def max_pool2d(x, size=2, stride=None):
+    """Max pool; 2x2 s2 backward formulation via TERRAIN_POOL_VJP:
+    'sas' (default) = XLA reduce_window grad (select-and-scatter),
+    'lanes' = lane/major-dim pairing custom VJP (_max_pool2d_lanes),
+    'dense' = round-3 6D window-reshape VJP (kept as the measured-loss
+    reference point).  Read at TRACE time."""
     import os
 
     s = stride or size
+    mode = os.environ.get("TERRAIN_POOL_VJP", "sas")
     if (s == size and jnp.issubdtype(x.dtype, jnp.floating)
-            and x.shape[1] % size == 0 and x.shape[2] % size == 0
-            and os.environ.get("TERRAIN_POOL_VJP", "sas") == "dense"):
-        return _max_pool2d_nonoverlap(x, size)
+            and x.shape[1] % size == 0 and x.shape[2] % size == 0):
+        if mode == "lanes" and size == 2:
+            return _max_pool2d_lanes(x)
+        if mode == "dense":
+            return _max_pool2d_nonoverlap(x, size)
     return _reduce_window_max(x, size, s)
 
 

@@ -252,3 +252,61 @@ def test_max_pool_custom_grad_tie_splitting(monkeypatch):
     g = jax.grad(lambda a: jnp.sum(max_pool2d(a, 2)) * 1.0)(x)
     np.testing.assert_allclose(np.asarray(g), 0.25 * np.ones((1, 2, 2, 1)))
     assert float(jnp.sum(g)) == 1.0
+
+
+def test_max_pool_lanes_fwd_and_grad_match_sas(rng, monkeypatch):
+    """TERRAIN_POOL_VJP=lanes: lane/major-dim pairing formulation equals
+    reduce_window fwd everywhere and its grad on tie-free inputs — in
+    fp32 and the flagship bf16 path."""
+    import jax
+
+    from terrain_tpu.ops.pool import _reduce_window_max
+
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "lanes")
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.array(rng.randn(2, 8, 6, 3).astype(np.float32)).astype(dtype)
+        cot = jnp.array(
+            rng.randn(2, 4, 3, 3).astype(np.float32)).astype(dtype)
+        y = jax.jit(lambda a: max_pool2d(a, 2))(x)
+        y_ref = _reduce_window_max(x, 2, 2)
+        np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                      np.asarray(y_ref, np.float32))
+        loss = lambda a: jnp.sum((max_pool2d(a, 2) * cot).astype(jnp.float32))
+        g_lanes = jax.jit(jax.grad(loss))(x)
+        g_sas = jax.grad(lambda a: jnp.sum(
+            (_reduce_window_max(a, 2, 2) * cot).astype(jnp.float32)))(x)
+        np.testing.assert_array_equal(np.asarray(g_lanes, np.float32),
+                                      np.asarray(g_sas, np.float32))
+
+
+def test_max_pool_lanes_tie_routing_row_major_first(monkeypatch):
+    """lanes routes a tied window's whole cotangent to the row-major-first
+    maximum (select-and-scatter's convention), single winner."""
+    import jax
+
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "lanes")
+    x = jnp.ones((1, 2, 2, 1), jnp.float32)  # 4-way tie
+    g = jax.grad(lambda a: jnp.sum(max_pool2d(a, 2)) * 1.0)(x)
+    want = np.zeros((1, 2, 2, 1), np.float32)
+    want[0, 0, 0, 0] = 1.0
+    np.testing.assert_array_equal(np.asarray(g), want)
+    # two-way diagonal tie at the max: (0,1) vs (1,0) -> (0,1) wins
+    x2 = jnp.array([[[[0.0], [5.0]], [[5.0], [1.0]]]], jnp.float32)
+    g2 = jax.grad(lambda a: jnp.sum(max_pool2d(a, 2)) * 1.0)(x2)
+    want2 = np.zeros((1, 2, 2, 1), np.float32)
+    want2[0, 0, 1, 0] = 1.0
+    np.testing.assert_array_equal(np.asarray(g2), want2)
+
+
+def test_max_pool_lanes_requires_regime(rng, monkeypatch):
+    """Off-regime shapes (odd H/W, size!=2, ints) fall back to
+    reduce_window under the lanes knob."""
+    from terrain_tpu.ops.pool import _reduce_window_max
+
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "lanes")
+    x = jnp.array(rng.randn(1, 7, 6, 3).astype(np.float32))  # odd H
+    np.testing.assert_array_equal(
+        np.asarray(max_pool2d(x, 2)), np.asarray(_reduce_window_max(x, 2, 2)))
+    x4 = jnp.array(rng.randn(1, 8, 8, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool2d(x4, 4)), np.asarray(_reduce_window_max(x4, 4, 4)))
