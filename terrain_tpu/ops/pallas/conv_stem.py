@@ -50,8 +50,8 @@ def _w_pad(w):
 
 
 def _row_patches(scratch, y, W):
-    """(25, W) patch matrix for output row y: row t=(dy,dx) is the input row
-    shifted by (dy, dx), read from the dx-pre-shifted plane stack
+    """(25, W) patch matrix (f32) for output row y: row t=(dy,dx) is the
+    input row shifted by (dy, dx), read from the dx-pre-shifted plane stack
     `scratch` (K, TH+8, Wp) at lane offset 0.
 
     Why planes: slicing one buffer at lane starts dx=0..4 bakes the offset
@@ -65,7 +65,7 @@ def _row_patches(scratch, y, W):
     (sublane offsets may differ: dim 0 is the concat dim)."""
     return jnp.concatenate(
         [scratch[dx, pl.ds(y + dy, 1), pl.ds(0, W)]
-         for dy in range(K) for dx in range(K)], axis=0)
+         for dy in range(K) for dx in range(K)], axis=0).astype(jnp.float32)
 
 
 def _fwd_kernel(xs_hbm, w_ref, b_ref, out_ref, scratch, sem, *, TH, W, Wp, F,
@@ -211,6 +211,22 @@ def supported(x_shape, w_shape, stride, padding, backend=None):
             and _pick_th(h, None) != 0)
 
 
+def _plane_dtype(x):
+    """HBM dtype for the plane stack.  TERRAIN_STEM_PLANES=bf16 stores the
+    K shifted planes (the round-4 trace's ~4.5 ms 'stem boundary stacks'
+    line — fwd and dW each write+read ~27 MB of f32 planes per step at
+    512px bs4) in bf16 instead, halving that traffic.  EXACT when the
+    input is already bf16 (the flagship TERRAIN_DTYPE=bf16 path): planes
+    are copies/zero-pads of bf16 values and the kernels upcast to f32 at
+    the patch slice, so every dot still accumulates f32 against f32
+    weights.  Off (or fp32 inputs, where the downcast would lose bits):
+    f32 planes, the round-3/4 behavior.  Read at TRACE time."""
+    if (x.dtype == jnp.bfloat16
+            and os.environ.get("TERRAIN_STEM_PLANES", "f32") == "bf16"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _plane_stack(x2d, wp):
     """(N, H, W) -> (N, K, H+8, Wp): K dx-shifted copies of the padded image
     so every kernel load is lane-offset-0 (see _row_patches).  Plane dx
@@ -235,7 +251,8 @@ def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False, slope=None):
     # block); 16 holds in both dtypes with margin
     TH = min(_pick_th(h, x.dtype), 16)
     Wp = _w_pad(wdt)
-    xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
+    pdt = _plane_dtype(x)
+    xs = _plane_stack(x[..., 0].astype(pdt), Wp)
     wm = w.reshape(K * K, f).astype(jnp.float32)
     bm = b.reshape(1, f).astype(jnp.float32)
     kern = functools.partial(_fwd_kernel, TH=TH, W=wdt, Wp=Wp, F=f,
@@ -253,7 +270,7 @@ def _conv_stem_fwd_pallas(x, w, b, out_dtype, interpret=False, slope=None):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, wdt, f), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((K, TH + 8, Wp), jnp.float32),
+            pltpu.VMEM((K, TH + 8, Wp), pdt),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -266,7 +283,8 @@ def _conv_stem_dw_pallas(x, g, f, interpret=False, y=None, slope=None):
     # overflow VMEM at TH=32 (measured on-chip: "exceeded vmem" at alloc)
     TH = min(_pick_th(h, x.dtype), 16)
     Wp = _w_pad(wdt)
-    xs = _plane_stack(x[..., 0].astype(jnp.float32), Wp)
+    pdt = _plane_dtype(x)
+    xs = _plane_stack(x[..., 0].astype(pdt), Wp)
     kern = functools.partial(_dw_kernel, TH=TH, W=wdt, Wp=Wp, F=f,
                              slope=slope)
     g_spec = pl.BlockSpec((1, TH, wdt, f), lambda nn, hh: (nn, hh, 0, 0),
@@ -286,7 +304,7 @@ def _conv_stem_dw_pallas(x, g, f, interpret=False, y=None, slope=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((32, f), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((K, TH + 8, Wp), jnp.float32),
+            pltpu.VMEM((K, TH + 8, Wp), pdt),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -604,3 +604,40 @@ def test_dx_conv6_out_of_regime_fails_loudly(rng):
     w = jnp.asarray(rng.randn(3, 3, 2, 3).astype(np.float32))
     with pytest.raises(AssertionError, match="H,W >= 4"):
         bc._dx_conv6(g, w)
+
+
+def test_conv_stem_bf16_planes_exact_vs_f32_planes(rng, monkeypatch):
+    """TERRAIN_STEM_PLANES=bf16: storing the K shifted planes in bf16 is
+    EXACT for bf16 inputs (planes are copies/zero-pads of bf16 values;
+    dots still run f32) — fwd and all grads bit-equal to the f32-planes
+    path; fp32 inputs ignore the knob (the downcast would lose bits)."""
+    monkeypatch.setattr(cs, "_INTERPRET", True)
+    x32 = rng.randn(1, 16, 16, 1).astype(np.float32)
+    w = jnp.asarray(rng.randn(5, 5, 1, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    cot = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+
+    def run(slope=None):
+        y = cs.conv_stem(xb, w, b, slope)
+        g = jax.grad(lambda *a: jnp.sum(
+            (cs.conv_stem(*a, slope) * cot).astype(jnp.float32)),
+            argnums=(0, 1, 2))(xb, w, b)
+        return y, g
+
+    monkeypatch.setenv("TERRAIN_STEM_PLANES", "f32")
+    y0, g0 = run()
+    ys0, gs0 = run(slope=0.2)
+    monkeypatch.setenv("TERRAIN_STEM_PLANES", "bf16")
+    y1, g1 = run()
+    ys1, gs1 = run(slope=0.2)
+    np.testing.assert_array_equal(np.asarray(y0, np.float32),
+                                  np.asarray(y1, np.float32))
+    np.testing.assert_array_equal(np.asarray(ys0, np.float32),
+                                  np.asarray(ys1, np.float32))
+    for p, q in list(zip(g0, g1)) + list(zip(gs0, gs1)):
+        np.testing.assert_array_equal(np.asarray(p, np.float32),
+                                      np.asarray(q, np.float32))
+    # fp32 inputs: knob is ignored (plane dtype stays f32)
+    assert cs._plane_dtype(jnp.asarray(x32)) == jnp.float32
+    assert cs._plane_dtype(xb) == jnp.bfloat16
