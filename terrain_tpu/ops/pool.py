@@ -114,17 +114,26 @@ _max_pool2d_lanes.defvjp(_lanes_fwd, _lanes_bwd)
 
 
 def max_pool2d(x, size=2, stride=None):
-    """Max pool; 2x2 s2 backward formulation via TERRAIN_POOL_VJP:
+    """Max pool; 2x2 s2 fwd/bwd formulation via TERRAIN_POOL_VJP:
     'sas' (default) = XLA reduce_window grad (select-and-scatter),
-    'lanes' = lane/major-dim pairing custom VJP (_max_pool2d_lanes),
-    'dense' = round-3 6D window-reshape VJP (kept as the measured-loss
-    reference point).  Read at TRACE time."""
+    'pallas' = in-VMEM Pallas fwd+bwd kernels (ops/pallas/pool2.py —
+    block-level lane-pair view, no XLA-visible interleaves),
+    'lanes' = lane/major-dim pairing custom VJP (_max_pool2d_lanes;
+    measured +11 ms in-context round 5 — XLA still pays relayouts),
+    'dense' = round-3 6D window-reshape VJP (measured +5.7 ms).
+    The losing modes are kept as measured reference points.  Read at
+    TRACE time."""
     import os
 
     s = stride or size
     mode = os.environ.get("TERRAIN_POOL_VJP", "sas")
     if (s == size and jnp.issubdtype(x.dtype, jnp.floating)
             and x.shape[1] % size == 0 and x.shape[2] % size == 0):
+        if mode == "pallas" and size == 2:
+            from terrain_tpu.ops.pallas import pool2
+
+            if pool2.supported(x.shape):
+                return pool2.max_pool2_pallas(x)
         if mode == "lanes" and size == 2:
             return _max_pool2d_lanes(x)
         if mode == "dense":

@@ -73,6 +73,14 @@ class TerrainServer:
         # per-op, but two different ops (gz vs atob) could otherwise hit the
         # jitted sampler handles concurrently from their worker threads
         self._dispatch_lock = threading.Lock()
+        # relay fetches happen OUTSIDE the dispatch lock (the arrays are
+        # already enqueued on device; holding the lock through a ~0.5 s
+        # 512px fetch would serialize the next request's dispatch behind
+        # it), and the two-stage A/B planes fetch concurrently here
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._io_pool = ThreadPoolExecutor(
+            max_workers=2, thread_name_prefix="terrain-serve-fetch")
 
         handler = self._make_handler()
         # threaded so slow clients don't starve each other; actual device
@@ -97,6 +105,7 @@ class TerrainServer:
         self.tcp.shutdown()
         self.tcp.server_close()
         self.batcher.shutdown()
+        self._io_pool.shutdown(wait=False)
 
     def warmup(self, verbose=False):
         """Pre-compile the deterministic graphs for EVERY bucket size
@@ -188,7 +197,9 @@ class TerrainServer:
             else:
                 fn = q["ts_stoch"] if q else m._two_stage_stoch
                 a, b = fn(*args, self._next_rng())
-            return np.asarray(a), np.asarray(b)
+        fa = self._io_pool.submit(np.asarray, a)
+        bb = np.asarray(b)
+        return fa.result(), bb
 
     def _atob(self, X, deterministic, wire="f32"):
         m = self.model
@@ -201,7 +212,7 @@ class TerrainServer:
             else:
                 fn = q["g_stoch"] if q else m._g_stoch
                 b = fn(p, s, X, self._next_rng())
-            return np.asarray(b)
+        return np.asarray(b)
 
     def _run_batch(self, op, requests):
         """Executor for the MicroBatcher: one padded device dispatch for a

@@ -849,14 +849,20 @@ class TwoStageGAN:
         path); direct callers keep full resolution."""
         os.makedirs(out_dir, exist_ok=True)
         ctr = 0
+        # enqueue every batch's device work BEFORE the first fetch: JAX
+        # dispatch is async, so the relay fetch of batch t overlaps the
+        # device compute of t+1..n instead of serializing with it (the u8
+        # handles are tiny; PNG writes are already async via _save_png_u8)
+        devs = []
         for X, Y in self._batches_from(itr, batch_size, num_batches):
             pred = Y if dont_predict else self._gen_fn(X, deterministic)
             # quantize on device: uint8 fetches are 4x smaller, and relay
             # fetch bandwidth dominates artifact epochs (docs/RESULTS_r2.md)
-            X = np.asarray(to_u8_device(X, self.is_a_grayscale,
-                                        preview_scale))
-            pred = np.asarray(to_u8_device(pred, self.is_b_grayscale,
-                                           preview_scale))
+            devs.append((to_u8_device(X, self.is_a_grayscale, preview_scale),
+                         to_u8_device(pred, self.is_b_grayscale,
+                                      preview_scale)))
+        for dx, dp in devs:
+            X, pred = np.asarray(dx), np.asarray(dp)
             for i in range(pred.shape[0]):
                 self._save_png_u8(os.path.join(out_dir, f"{ctr}.a.png"), X[i])
                 self._save_png_u8(os.path.join(out_dir, f"{ctr}.b.png"), pred[i])
@@ -879,11 +885,14 @@ class TwoStageGAN:
         pad = n_chunks * chunk - num_examples
         if pad:
             z = np.concatenate([z, z[:pad]], axis=0)
-        for b in range(n_chunks):
-            zc = z[b * chunk:(b + 1) * chunk]
-            out = np.asarray(to_u8_device(
-                self._z_fn(zc, deterministic), self.is_a_grayscale,
-                preview_scale))
+        # enqueue all chunks, then fetch: async dispatch overlaps chunk
+        # t's relay fetch with chunk t+1's device compute (u8 handles are
+        # ~chunk*H*W bytes on device — negligible HBM)
+        devs = [to_u8_device(
+            self._z_fn(z[b * chunk:(b + 1) * chunk], deterministic),
+            self.is_a_grayscale, preview_scale) for b in range(n_chunks)]
+        for dev in devs:
+            out = np.asarray(dev)
             for i in range(out.shape[0]):
                 if ctr >= num_examples:
                     break

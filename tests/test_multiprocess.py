@@ -108,3 +108,56 @@ def test_two_process_training_matches_single_process(tmp_path, monkeypatch):
                     float(row_got[k]), float(row_ref[k]),
                     rtol=1e-5, atol=1e-6,
                     err_msg=f"epoch {row_ref['epoch']} col {k} ({d})")
+
+
+@pytest.mark.timeout(600)
+def test_two_process_tp_training_matches_single_process(tmp_path,
+                                                        monkeypatch):
+    """DP+TP under the distributed runtime (VERDICT r4 item 7): the same
+    2-process 2-epoch trajectory test over a 2x2 ('data','model') mesh
+    with the tiny nets' conv kernels genuinely sharded on 'model'
+    (tp_min_features=8; the worker asserts real TP leaves).  The
+    trajectory must match the UNSHARDED single-process run — TP is a
+    layout, not a math change."""
+    import numpy as np
+
+    from tiny_cfg import GlobalStream, build_model, csv_rows, det_sampler
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    dirs = [str(tmp_path / f"w{i}") for i in range(2)]
+    procs = [
+        subprocess.Popen([sys.executable, _TRAIN_WORKER, str(i), str(port),
+                          dirs[i], "2"],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"WORKER {i} OK" in out, out[-2000:]
+        assert "stage tp ok" in out, out[-2000:]
+
+    monkeypatch.setenv("TERRAIN_ARTIFACT_EVERY", "999")
+    sdir = str(tmp_path / "single")
+    model = build_model(mesh=None, sampler=det_sampler(0))
+    model.train(GlobalStream(), GlobalStream(), batch_size=4, num_epochs=2,
+                out_dir=sdir, model_dir=None, save_every=999)
+
+    ref = csv_rows(os.path.join(sdir, "results.txt"))
+    loss_keys = [k for k in ref[0]
+                 if k.startswith(("train_", "valid_")) or k == "lr"]
+    assert len(ref) == 2 and len(loss_keys) == 11
+    for d in dirs:
+        got = csv_rows(os.path.join(d, "results.txt"))
+        assert len(got) == 2, got
+        for row_ref, row_got in zip(ref, got):
+            for k in loss_keys:
+                np.testing.assert_allclose(
+                    float(row_got[k]), float(row_ref[k]),
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"epoch {row_ref['epoch']} col {k} ({d})")

@@ -641,3 +641,77 @@ def test_conv_stem_bf16_planes_exact_vs_f32_planes(rng, monkeypatch):
     # fp32 inputs: knob is ignored (plane dtype stays f32)
     assert cs._plane_dtype(jnp.asarray(x32)) == jnp.float32
     assert cs._plane_dtype(xb) == jnp.bfloat16
+
+
+from terrain_tpu.ops.pallas import pool2
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 16, 16, 8),     # minimal aligned
+    (2, 32, 48, 16),    # non-square, multi-block
+    (1, 8, 16, 8),      # smallest th ladder entry
+])
+def test_pool2_pallas_fwd_and_grad_match_sas(shape, rng, monkeypatch):
+    """ops/pallas/pool2.py: fwd equals reduce_window everywhere; grad
+    equals the select-and-scatter grad on tie-free inputs — fp32 and
+    bf16 (interpret mode; tie conventions asserted separately)."""
+    from terrain_tpu.ops.pool import _reduce_window_max
+
+    assert pool2.supported(shape, backend="tpu")
+    monkeypatch.setattr(pool2, "_INTERPRET", True)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.array(rng.randn(*shape).astype(np.float32)).astype(dtype)
+        n, h, w, c = shape
+        cot = jnp.array(rng.randn(n, h // 2, w // 2, c)
+                        .astype(np.float32)).astype(dtype)
+        y = jax.jit(pool2.max_pool2_pallas)(x)
+        y_ref = _reduce_window_max(x, 2, 2)
+        np.testing.assert_array_equal(np.asarray(y, np.float32),
+                                      np.asarray(y_ref, np.float32))
+        g = jax.jit(jax.grad(lambda a: jnp.sum(
+            (pool2.max_pool2_pallas(a) * cot).astype(jnp.float32))))(x)
+        g_ref = jax.grad(lambda a: jnp.sum(
+            (_reduce_window_max(a, 2, 2) * cot).astype(jnp.float32)))(x)
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(g_ref, np.float32))
+
+
+def test_pool2_pallas_tie_routing(rng, monkeypatch):
+    """Whole-window ties route to the row-major-first element (the SAS
+    convention, same as TERRAIN_POOL_VJP=lanes)."""
+    monkeypatch.setattr(pool2, "_INTERPRET", True)
+    x = jnp.ones((1, 8, 16, 8), jnp.float32)
+    g = jax.grad(lambda a: jnp.sum(pool2.max_pool2_pallas(a)))(x)
+    g = np.asarray(g)
+    np.testing.assert_array_equal(g[0, 0::2, 0::2], 1.0)
+    assert g.sum() == 4 * 8 * 8  # one winner per window per channel
+
+
+def test_pool2_regime_guard():
+    assert pool2.supported((4, 512, 512, 64), backend="tpu")
+    assert pool2.supported((4, 8, 16, 256), backend="tpu")
+    assert not pool2.supported((4, 512, 512, 64), backend="cpu")
+    assert not pool2.supported((4, 511, 512, 64), backend="tpu")  # odd h
+    assert not pool2.supported((4, 16, 8, 64), backend="tpu")     # w/2 < 8
+    assert not pool2.supported((4, 16, 16, 6), backend="tpu")     # c % 8
+    assert not pool2.supported((4, 16, 16, 1024), backend="tpu")  # c cap
+
+
+def test_pool2_dispatch_flag(rng, monkeypatch):
+    """TERRAIN_POOL_VJP=pallas routes through pool2 on supported shapes
+    (interpret mode stands in for the chip) and falls back off-regime."""
+    from terrain_tpu.ops.pool import _reduce_window_max, max_pool2d
+
+    monkeypatch.setattr(pool2, "_INTERPRET", True)
+    monkeypatch.setenv("TERRAIN_POOL_VJP", "pallas")
+    monkeypatch.setattr(pool2, "supported",
+                        lambda s, backend=None: pool2._pick_th(s[1]) != 0
+                        and s[1] % 2 == 0 and s[2] % 2 == 0
+                        and (s[2] // 2) % 8 == 0 and s[3] % 8 == 0)
+    x = jnp.array(rng.randn(1, 16, 16, 8).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(max_pool2d(x, 2)),
+                                  np.asarray(_reduce_window_max(x, 2, 2)))
+    x_odd = jnp.array(rng.randn(1, 15, 16, 8).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool2d(x_odd, 2)),
+        np.asarray(_reduce_window_max(x_odd, 2, 2)))

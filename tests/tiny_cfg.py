@@ -13,11 +13,12 @@ GLOBAL_BS = 4
 N_IMGS = 8  # 2 steps/epoch at GLOBAL_BS
 
 
-def build_model(mesh, sampler):
+def build_model(mesh, sampler, tp_min_features=256):
     from terrain_tpu.models import dcgan, p2p
     from terrain_tpu.train.trainer import TwoStageGAN
 
     return TwoStageGAN(
+        tp_min_features=tp_min_features,
         gen_fn_dcgan=dcgan.default_generator,
         disc_fn_dcgan=dcgan.default_discriminator,
         gen_params_dcgan={"nch": 8, "h": 3, "initial_size": 4,
