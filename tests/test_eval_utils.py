@@ -182,3 +182,69 @@ def test_trainer_artifact_scale_env(tmp_path, monkeypatch):
     # direct call (gen mode) stays full-res
     m.generate_gz(1, 1, str(tmp_path / "gen"))
     assert iio.imread(str(tmp_path / "gen" / "0.png")).shape[:2] == (16, 16)
+
+
+def test_compare_published_loader_and_rows(tmp_path, capsys):
+    """tools/compare_published.py: gray loader (RGB -> first channel,
+    [0,1]), scale matching, and the metric row path on tiny sets."""
+    import numpy as np
+    from imageio.v3 import imwrite
+
+    import tools.compare_published as cp
+
+    ref = tmp_path / "ref"
+    gen = tmp_path / "gen"
+    ref.mkdir()
+    gen.mkdir()
+    r = np.random.RandomState(0)
+    for i in range(4):
+        g = (r.rand(64, 64) * 255).astype(np.uint8)
+        imwrite(ref / f"{i}.png", np.stack([g, g, g], axis=-1))  # gray-RGB
+        imwrite(gen / f"{i}.png", (r.rand(128, 128) * 255).astype(np.uint8))
+    a = cp.load_gray_pngs(str(ref))
+    b = cp.load_gray_pngs(str(gen))
+    assert a.shape == (4, 64, 64, 1) and b.shape == (4, 128, 128, 1)
+    assert 0.0 <= float(a.min()) and float(a.max()) <= 1.0
+    b16 = cp.to_scale(b, 64)
+    assert b16.shape == (4, 64, 64, 1)
+    m = cp.row("test", a, b16, seed=0)
+    out = capsys.readouterr().out
+    assert "swd_mean" in out and np.isfinite(m["swd_mean"])
+    assert np.isfinite(m["elev_w1"]) and np.isfinite(m["slope_w1"])
+    # identical sets: SWD ~ 0 under the shared-key protocol
+    m0 = cp.metrics(a, a, seed=0)
+    assert m0["swd_mean"] < 1e-3 and m0["elev_w1"] < 1e-6
+
+
+def test_compare_published_rejects_mixed_shapes(tmp_path):
+    import numpy as np
+    import pytest
+    from imageio.v3 import imwrite
+
+    import tools.compare_published as cp
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    imwrite(d / "0.png", np.zeros((8, 8), np.uint8))
+    imwrite(d / "1.png", np.zeros((16, 16), np.uint8))
+    with pytest.raises(SystemExit, match="mixed"):
+        cp.load_gray_pngs(str(d))
+
+
+def test_make_gen_sheet_rejects_mixed_shapes(tmp_path):
+    import subprocess
+    import sys
+
+    import numpy as np
+    from imageio.v3 import imwrite
+
+    d = tmp_path / "gen"
+    d.mkdir()
+    imwrite(d / "0.png", np.zeros((8, 8), np.uint8))
+    imwrite(d / "1.png", np.zeros((16, 16), np.uint8))
+    p = subprocess.run(
+        [sys.executable, "tools/make_gen_sheet.py", str(d),
+         str(tmp_path / "s.png"), "--k", "2"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert p.returncode != 0
+    assert "shape" in p.stderr
