@@ -9,6 +9,10 @@ reduce-window reference.  Prints ONE JSON line consumed by the chain's
 tagit/land pipeline.
 """
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
