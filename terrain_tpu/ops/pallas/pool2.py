@@ -12,12 +12,18 @@ dims.
 These kernels avoid sublane work entirely via the same contiguous-view
 trick as ops/pool.py:_lanes_core, applied at the BLOCK level:
 
-  * XLA-side, x is VIEWED as xr = x.reshape(n, h, w/2, 2c) — contiguous,
-    free: each lane row holds [x[.., 2p, :] | x[.., 2p+1, :]];
+  * XLA-side, x is VIEWED as xr = x.reshape(n, h/2, 2, w/2, 2c) —
+    contiguous, free: each lane row holds [x[.., 2p, :] | x[.., 2p+1, :]]
+    and the H pair sits on its own MAJOR (untiled) axis;
   * the W-pair max/mask becomes a STATIC LANE-slice maximum (offsets 0
-    and C), the H pair a stride-2 slice on the MAJOR (untiled) block dim;
-  * the backward writes dxr in the same view (two static lane-offset
-    stores), so the final dx.reshape(n, h, w, c) is free again;
+    and C), the H pair a STATIC index on the major axis — no strided
+    slices, stacks, or gathers anywhere in the kernel (the first on-chip
+    compile of a stride-2 `m[0::2]` formulation died with Mosaic's
+    "Only 2D gather is supported": strided major-dim slices and
+    jnp.stack lower to gathers — round-2 lesson, round-5 instance);
+  * the backward writes dxr in the same view (four static-index,
+    static-lane-offset stores), so the final dx.reshape(n, h, w, c) is
+    free again;
   * compares run in f32 (Mosaic rejects cmpf on packed bf16, see
     conv_stem.py round-2 notes); tie routing is row-major-first, matching
     select-and-scatter (tests/test_ops.py conventions).
@@ -58,26 +64,27 @@ def supported(x_shape, backend=None):
 
 
 def _fwd_kernel(xr_ref, y_ref, *, C):
-    v = xr_ref[0].astype(jnp.float32)             # (2TH, W2, 2C)
+    v = xr_ref[0].astype(jnp.float32)             # (TH, 2, W2, 2C)
     m = jnp.maximum(v[..., :C], v[..., C:])       # W pair: lane slices
-    y = jnp.maximum(m[0::2], m[1::2])             # H pair: major dim
+    y = jnp.maximum(m[:, 0], m[:, 1])             # H pair: static index
     y_ref[0] = y.astype(y_ref.dtype)
 
 
 def _bwd_kernel(xr_ref, g_ref, dxr_ref, *, C):
-    v = xr_ref[0].astype(jnp.float32)
+    v = xr_ref[0].astype(jnp.float32)             # (TH, 2, W2, 2C)
     a, b = v[..., :C], v[..., C:]
-    m = jnp.maximum(a, b)
-    hm = m[0::2] >= m[1::2]                       # H winner: even-first ties
+    m = jnp.maximum(a, b)                         # (TH, 2, W2, C)
+    hm = m[:, 0] >= m[:, 1]                       # H winner: even-first ties
     g = g_ref[0].astype(jnp.float32)              # (TH, W2, C)
-    de = jnp.where(hm, g, 0.0)
-    do = jnp.where(hm, 0.0, g)
-    th, w2, c = de.shape
-    # H interleave on the MAJOR dim (minor (W2, C) tiling untouched)
-    dm = jnp.stack([de, do], axis=1).reshape(2 * th, w2, c)
-    wm = a >= b                                   # W winner: even-first ties
-    dxr_ref[0, :, :, :C] = jnp.where(wm, dm, 0.0).astype(dxr_ref.dtype)
-    dxr_ref[0, :, :, C:] = jnp.where(wm, 0.0, dm).astype(dxr_ref.dtype)
+    de = jnp.where(hm, g, 0.0)                    # routed to H-even row
+    do = jnp.where(hm, 0.0, g)                    # routed to H-odd row
+    we = a[:, 0] >= b[:, 0]                       # W winners per H row
+    wo = a[:, 1] >= b[:, 1]                       # (even-first ties)
+    dt = dxr_ref.dtype
+    dxr_ref[0, :, 0, :, :C] = jnp.where(we, de, 0.0).astype(dt)
+    dxr_ref[0, :, 0, :, C:] = jnp.where(we, 0.0, de).astype(dt)
+    dxr_ref[0, :, 1, :, :C] = jnp.where(wo, do, 0.0).astype(dt)
+    dxr_ref[0, :, 1, :, C:] = jnp.where(wo, 0.0, do).astype(dt)
 
 
 _INTERPRET = False  # tests flip this to exercise the kernels on CPU
@@ -87,13 +94,13 @@ def _fwd_call(x):
     n, h, w, c = x.shape
     th = _pick_th(h)
     w2 = w // 2
-    xr = x.reshape(n, h, w2, 2 * c)
+    xr = x.reshape(n, h // 2, 2, w2, 2 * c)
     kern = functools.partial(_fwd_kernel, C=c)
     return pl.pallas_call(
         kern,
         grid=(n, (h // 2) // th),
-        in_specs=[pl.BlockSpec((1, 2 * th, w2, 2 * c),
-                               lambda nn, hh: (nn, hh, 0, 0),
+        in_specs=[pl.BlockSpec((1, th, 2, w2, 2 * c),
+                               lambda nn, hh: (nn, hh, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, th, w2, c), lambda nn, hh: (nn, hh, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -106,22 +113,22 @@ def _bwd_call(x, g):
     n, h, w, c = x.shape
     th = _pick_th(h)
     w2 = w // 2
-    xr = x.reshape(n, h, w2, 2 * c)
+    xr = x.reshape(n, h // 2, 2, w2, 2 * c)
     kern = functools.partial(_bwd_kernel, C=c)
     dxr = pl.pallas_call(
         kern,
         grid=(n, (h // 2) // th),
         in_specs=[
-            pl.BlockSpec((1, 2 * th, w2, 2 * c),
-                         lambda nn, hh: (nn, hh, 0, 0),
+            pl.BlockSpec((1, th, 2, w2, 2 * c),
+                         lambda nn, hh: (nn, hh, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, w2, c), lambda nn, hh: (nn, hh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * th, w2, 2 * c),
-                               lambda nn, hh: (nn, hh, 0, 0),
+        out_specs=pl.BlockSpec((1, th, 2, w2, 2 * c),
+                               lambda nn, hh: (nn, hh, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w2, 2 * c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h // 2, 2, w2, 2 * c), x.dtype),
         interpret=_INTERPRET,
     )(xr, g.astype(x.dtype))
     return dxr.reshape(n, h, w, c)
