@@ -40,10 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_th(h):
-    """Rows of y per block (x block has 2*TH rows).  h is even here."""
-    for t in (16, 8, 4):
-        if (h // 2) % t == 0:
+def _pick_th(h, w, c):
+    """Rows of y per block (x block has 2*TH rows).  h is even here.
+
+    Clamped so the f32 block view stays ~1 MiB (8*t*w*c bytes): the
+    flagship's (4, 512, 512, 64) stage at th=16 put ~12 MB of f32
+    temporaries in scoped VMEM and crashed the remote compile helper
+    (docs/artifacts_r5 round-5 check); th is a major dim, so small
+    values only add grid steps to a bandwidth-bound kernel.
+    """
+    for t in (16, 8, 4, 2, 1):
+        if (h // 2) % t == 0 and t * w * c <= 131072:
             return t
     return 0
 
@@ -59,7 +66,7 @@ def supported(x_shape, backend=None):
     return (h % 2 == 0 and w % 2 == 0
             and (w // 2) % 8 == 0          # sublane-aligned blocks
             and c % 8 == 0 and c <= 512    # static lane slices at offset c
-            and _pick_th(h) != 0
+            and _pick_th(h, w, c) != 0
             and h >= 8)
 
 
@@ -92,7 +99,7 @@ _INTERPRET = False  # tests flip this to exercise the kernels on CPU
 
 def _fwd_call(x):
     n, h, w, c = x.shape
-    th = _pick_th(h)
+    th = _pick_th(h, w, c)
     w2 = w // 2
     xr = x.reshape(n, h // 2, 2, w2, 2 * c)
     kern = functools.partial(_fwd_kernel, C=c)
@@ -111,7 +118,7 @@ def _fwd_call(x):
 
 def _bwd_call(x, g):
     n, h, w, c = x.shape
-    th = _pick_th(h)
+    th = _pick_th(h, w, c)
     w2 = w // 2
     xr = x.reshape(n, h // 2, 2, w2, 2 * c)
     kern = functools.partial(_bwd_kernel, C=c)

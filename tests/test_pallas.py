@@ -705,7 +705,7 @@ def test_pool2_dispatch_flag(rng, monkeypatch):
     monkeypatch.setattr(pool2, "_INTERPRET", True)
     monkeypatch.setenv("TERRAIN_POOL_VJP", "pallas")
     monkeypatch.setattr(pool2, "supported",
-                        lambda s, backend=None: pool2._pick_th(s[1]) != 0
+                        lambda s, backend=None: pool2._pick_th(s[1], s[2], s[3]) != 0
                         and s[1] % 2 == 0 and s[2] % 2 == 0
                         and (s[2] // 2) % 8 == 0 and s[3] % 8 == 0)
     x = jnp.array(rng.randn(1, 16, 16, 8).astype(np.float32))
