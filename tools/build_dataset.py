@@ -23,6 +23,7 @@ Usage:
 """
 
 import argparse
+import os
 
 import numpy as np
 
@@ -68,6 +69,8 @@ def build(heightmap_path, texture_path, out_path, crop_size=512, stride=100,
     rnd = np.random.RandomState(seed)
     idxs = rnd.permutation(n)
     n_train = int(n * 0.9)
+    out_dir = os.path.dirname(os.path.abspath(out_path))
+    os.makedirs(out_dir, exist_ok=True)
     with h5py.File(out_path, "w") as f:
         f.create_dataset("xt", (n_train, crop_size, crop_size, 1), dtype="uint8")
         f.create_dataset("yt", (n_train, crop_size, crop_size, 3), dtype="uint8")
@@ -108,6 +111,7 @@ def build_subset(src_path, ref_img_path, out_path, top_k=240,
         xt = g["xt"][chosen]
         yt = g["yt"][chosen]
     s = xt.shape[1]
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with h5py.File(out_path, "w") as f:
         if valid_split:
             rnd = np.random.RandomState(seed)
