@@ -2,8 +2,17 @@
 {train, interp, gen} — the reference's 2-arg interface
 (experiments.py:131: locals()[argv[1]](argv[2]))."""
 
+import faulthandler
 import os
+import signal
 import sys
+
+# Hung-run debuggability: the relay can stall a fetch forever (the process
+# sleeps on a futex with no Python-level symptom).  `kill -USR1 <pid>`
+# dumps every thread's Python stack to stderr so the block site is
+# attributable without py-spy/gdb (neither exists in this image).
+if hasattr(signal, "SIGUSR1"):  # not on Windows
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
 
 # persistent XLA compilation cache (cold compile of the 512px 4-network
 # step takes minutes; warm launches take seconds).  The runtime image's
