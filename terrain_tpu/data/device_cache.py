@@ -60,6 +60,18 @@ class DeviceDataset:
         else:
             self.x = jax.device_put(x)
             self.y = jax.device_put(y)
+        # "const" mode keeps the HOST copies for make_prepare to capture:
+        # closure-capturing the device arrays instead makes every process's
+        # lowering FETCH the whole dataset back from the device to embed it
+        # as an MLIR constant (jax Array._value in _array_mlir_constant_
+        # handler) — ~40 s per program per dataset over the ~2 MB/s relay,
+        # paid on cold start AND on every resume (diagnosed live via the
+        # cli.py SIGUSR1 stack dump, round 5).  The bytes are identical;
+        # capturing numpy embeds them with zero device traffic.
+        if self.mode == "const":
+            self._x_host, self._y_host = x, y
+        else:
+            self._x_host = self._y_host = None
 
     def gather_normalize(self, idx):
         """In-graph: (bs,) int32 -> (X, Y) float32 NHWC, normalized."""
@@ -109,7 +121,10 @@ class DeviceDataset:
 
             return prepare
 
-        x_u8, y_u8 = self.x, self.y
+        # host copies, NOT self.x/self.y — see __init__ (lowering-time
+        # relay fetch); eager users (trainer dump/SWD batches) keep using
+        # the device-resident self.x/self.y
+        x_u8, y_u8 = self._x_host, self._y_host
 
         def prepare(batch, rng):
             Z, idx = batch

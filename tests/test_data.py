@@ -131,6 +131,27 @@ def test_device_cache_arg_mode_matches_const():
     assert len(txtc) > len(txt)  # ...while const mode embeds the values
 
 
+def test_device_cache_const_mode_captures_host_arrays():
+    # Regression (round 5): const-mode prepare must close over the HOST
+    # uint8 copies, not the device_put handles — capturing jax.Arrays makes
+    # every process's lowering FETCH the dataset back device->host to embed
+    # it as an MLIR constant (~40 s/program over the 2 MB/s axon relay,
+    # paid on cold start and every resume; device_cache.py __init__ note).
+    x, y = make_pairs(8, 16, seed=3)
+    ds = DeviceDataset(x, y, True, False, mode="const")
+    prep = ds.make_prepare(True)
+    captured = [c.cell_contents for c in prep.__closure__]
+    big = [c for c in captured
+           if isinstance(c, (np.ndarray, jax.Array)) and np.ndim(c) == 4]
+    assert len(big) == 2
+    assert all(type(c) is np.ndarray for c in big), [type(c) for c in big]
+    # eager consumers (trainer dump/SWD paths) still get device arrays
+    assert isinstance(ds.x, jax.Array) and isinstance(ds.y, jax.Array)
+    # arg mode needs no host copies
+    dsa = DeviceDataset(x, y, True, False, mode="arg")
+    assert dsa._x_host is None and dsa._y_host is None
+
+
 def test_device_cache_arg_mode_scan_step():
     # scan path: dataset arrays enter as scan-invariant extras, not
     # stacked xs (build_scan_step appends them to each inner batch)
