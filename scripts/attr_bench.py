@@ -116,6 +116,24 @@ def main():
         if v == "noaug":
             model.da = False
         tr_step, _ = model._get_cache_steps(ds)
+        xla_opts = os.environ.get("TERRAIN_XLA_OPTS")
+        if xla_opts:
+            # Per-program XLA compiler options ("k=v,k=v").  Shell-level
+            # XLA_FLAGS cannot carry xla_tpu_* flags here: the LOCAL
+            # process has no TPU compiler and parse_flags_from_env aborts
+            # on unknown flags; lower().compile(compiler_options=...) ships
+            # them to the REMOTE TPU compiler (verified: bogus values fail
+            # remotely).  The XLA compile cache does NOT key on these —
+            # callers must point JAX_COMPILATION_CACHE_DIR at a fresh dir
+            # per option set or the cached unoptioned executable is reused.
+            kv = dict(s.split("=", 1) for s in xla_opts.split(",") if s)
+            Zl = model._sample_z(args.bs)
+            idxl = jnp.zeros((args.bs,), np.int32)
+            tr_step = tr_step.lower(
+                model.params, model.states, model.opt_states,
+                ds.batch_args(Zl, idxl), jax.random.PRNGKey(0),
+                jnp.float32(1e-4)).compile(compiler_options=kv)
+            out["xla_opts"] = kv
         run = step_driver(model, ds, tr_step)
         run.bs = args.bs
         if v == "profile":
