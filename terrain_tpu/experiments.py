@@ -158,9 +158,22 @@ def _resolve_model(model_dir, preferred=None, out_dir=None,
     ships ~e593 of 1000, dump_a_bakup_593ish/), and our 512px trajectories
     show the same late SWD drift (RESULTS_r4.md §2b).  TERRAIN_PICK=name
     restores the previous behavior: the reference's hardcoded checkpoint
-    name when present, else the latest epoch.
+    name when present, else the latest epoch.  TERRAIN_PICK=<epoch> loads
+    exactly that saved checkpoint (the escape hatch when an external
+    target, not the run's own swd, decides the epoch — RESULTS_r5 §5).
     """
-    if out_dir is not None and _env("TERRAIN_PICK", "swd") == "swd":
+    pick = _env("TERRAIN_PICK", "swd")
+    if pick.isdigit():
+        cand = os.path.join(model_dir, f"{int(pick)}.model")
+        if not os.path.exists(cand):
+            raise FileNotFoundError(
+                f"TERRAIN_PICK={pick}: no {cand}; saved epochs: "
+                + ", ".join(sorted(
+                    (os.path.basename(p).split(".")[0]
+                     for p in glob.glob(os.path.join(model_dir, "*.model"))),
+                    key=int)))
+        return cand
+    if out_dir is not None and pick == "swd":
         from terrain_tpu.train.checkpoint import pick_best_epoch
 
         pick = pick_best_epoch(out_dir, model_dir, metric=metric)

@@ -156,3 +156,19 @@ def test_resolve_model_swd_pick_and_name_fallback(tmp_path, monkeypatch,
     # no out_dir (train-mode base loads keep working) -> name behavior
     monkeypatch.delenv("TERRAIN_PICK", raising=False)
     assert _resolve_model(mdl, "25.model").endswith("25.model")
+
+
+def test_resolve_model_explicit_epoch(tmp_path, monkeypatch):
+    # TERRAIN_PICK=<epoch>: exact saved checkpoint, loud error otherwise
+    # (the external-target escape hatch, RESULTS_r5 §5)
+    import pytest
+
+    from terrain_tpu.experiments import _resolve_model
+
+    out, mdl = _write_run(
+        tmp_path, [(25, 0.5, 0.9), (50, 0.1, 0.8)], ckpt_epochs=(25, 50))
+    monkeypatch.setenv("TERRAIN_PICK", "25")
+    assert _resolve_model(mdl, "50.model", out_dir=out).endswith("25.model")
+    monkeypatch.setenv("TERRAIN_PICK", "75")
+    with pytest.raises(FileNotFoundError, match="saved epochs: 25, 50"):
+        _resolve_model(mdl, "50.model", out_dir=out)
