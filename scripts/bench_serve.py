@@ -57,8 +57,11 @@ def main():
     try:
         from terrain_tpu.serve.client import TerrainClient
 
-        # wait for warmup (compiles every bucket size through the relay)
-        deadline = time.time() + 1200
+        # wait for warmup (compiles every bucket size through the relay;
+        # TERRAIN_SERVE_HEALTH_S raises the budget on slow-relay days —
+        # a cold 512px ladder can exceed the 1200 s default)
+        deadline = time.time() + float(
+            os.environ.get("TERRAIN_SERVE_HEALTH_S", "1200"))
         while time.time() < deadline:
             if srv.poll() is not None:
                 raise RuntimeError(
